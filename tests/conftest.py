@@ -19,3 +19,10 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Some environments register an experimental TPU plugin that ignores
+# JAX_PLATFORMS; pin the default device to CPU so unit tests never run
+# over a device tunnel.
+import jax
+
+jax.config.update("jax_default_device", "cpu")
