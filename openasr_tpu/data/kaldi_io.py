@@ -1,0 +1,174 @@
+"""Kaldi ark/scp matrix IO (NumPy, from the Kaldi serialization format spec).
+
+Capability parity with the reference's vendored reader
+(reference: src/third_party/kaldi_io.py:319-449 read_mat/read_mat_scp/
+read_mat_ark): binary float/double matrices, all three compressed-matrix
+formats, text-mode matrices, pipe inputs, and scp `path:offset` addressing.
+Plus a binary float-matrix writer for data prep and tests.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import subprocess
+from typing import BinaryIO, Iterator, Tuple
+
+import numpy as np
+
+
+def open_or_fd(path: str, mode: str = "rb"):
+    """Open a file, handling 'pipe' (trailing '|' / leading '|') and
+    'path:offset' addressing (reference: src/third_party/kaldi_io.py:36)."""
+    offset = None
+    if path.rstrip().endswith("|"):
+        proc = subprocess.Popen(
+            path.rstrip()[:-1], shell=True, stdout=subprocess.PIPE
+        )
+        return proc.stdout
+    if path.lstrip().startswith("|"):
+        proc = subprocess.Popen(
+            path.lstrip()[1:], shell=True, stdin=subprocess.PIPE
+        )
+        return proc.stdin
+    if ":" in path:
+        head, tail = path.rsplit(":", 1)
+        if tail.isdigit():
+            path, offset = head, int(tail)
+    f = open(path, mode)
+    if offset is not None:
+        f.seek(offset)
+    return f
+
+
+def _read_token(f: BinaryIO) -> bytes:
+    tok = b""
+    while True:
+        c = f.read(1)
+        if not c or c == b" ":
+            break
+        tok += c
+    return tok
+
+
+def _read_int32(f: BinaryIO) -> int:
+    size = f.read(1)
+    assert size == b"\x04", f"Expected int32 size byte, got {size!r}"
+    return struct.unpack("<i", f.read(4))[0]
+
+
+def _read_compressed(f: BinaryIO, fmt: int) -> np.ndarray:
+    """Kaldi CompressedMatrix: format 1 = per-column uint8 with percentile
+    headers, 2 = uint16, 3 = uint8 (row-major)."""
+    min_value, rng = struct.unpack("<ff", f.read(8))
+    rows, cols = struct.unpack("<ii", f.read(8))
+    if fmt == 1:
+        headers = np.frombuffer(f.read(8 * cols), dtype="<u2").reshape(cols, 4)
+        pct = min_value + rng * headers.astype(np.float64) / 65535.0
+        data = np.frombuffer(f.read(rows * cols), dtype=np.uint8)
+        data = data.reshape(cols, rows).astype(np.float64)
+        p0, p25, p75, p100 = (pct[:, i : i + 1] for i in range(4))
+        low = p0 + (p25 - p0) * (data / 64.0)
+        mid = p25 + (p75 - p25) * ((data - 64.0) / 128.0)
+        high = p75 + (p100 - p75) * ((data - 192.0) / 63.0)
+        out = np.where(data <= 64, low, np.where(data <= 192, mid, high))
+        return out.T.astype(np.float32)
+    if fmt == 2:
+        data = np.frombuffer(f.read(2 * rows * cols), dtype="<u2")
+        return (min_value + rng * data.astype(np.float64) / 65535.0).reshape(
+            rows, cols
+        ).astype(np.float32)
+    if fmt == 3:
+        data = np.frombuffer(f.read(rows * cols), dtype=np.uint8)
+        return (min_value + rng * data.astype(np.float64) / 255.0).reshape(
+            rows, cols
+        ).astype(np.float32)
+    raise ValueError(f"Unknown compressed matrix format {fmt}")
+
+
+def _read_text_mat(f: BinaryIO, first: bytes) -> np.ndarray:
+    buf = first
+    while b"]" not in buf:
+        chunk = f.read(4096)
+        if not chunk:
+            break
+        buf += chunk
+    text = buf.decode("utf-8")
+    text = text[text.index("[") + 1 : text.index("]")]
+    rows = [r.split() for r in text.strip().split("\n") if r.strip()]
+    return np.array(rows, dtype=np.float32)
+
+
+def read_mat_fd(f: BinaryIO) -> np.ndarray:
+    binary = f.read(2)
+    if binary == b"\x00B":
+        tok = _read_token(f)
+        if tok == b"FM":
+            rows, cols = _read_int32(f), _read_int32(f)
+            data = np.frombuffer(f.read(4 * rows * cols), dtype="<f4")
+            return data.reshape(rows, cols).copy()
+        if tok == b"DM":
+            rows, cols = _read_int32(f), _read_int32(f)
+            data = np.frombuffer(f.read(8 * rows * cols), dtype="<f8")
+            return data.reshape(rows, cols).astype(np.float32)
+        if tok == b"CM":
+            return _read_compressed(f, 1)
+        if tok == b"CM2":
+            return _read_compressed(f, 2)
+        if tok == b"CM3":
+            return _read_compressed(f, 3)
+        raise ValueError(f"Unknown matrix token {tok!r}")
+    return _read_text_mat(f, binary)
+
+
+def read_mat(path: str) -> np.ndarray:
+    """Read one matrix from 'file', 'file:offset', or 'cmd |'."""
+    f = open_or_fd(path)
+    try:
+        return read_mat_fd(f)
+    finally:
+        f.close()
+
+
+def read_mat_scp(scp_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    with open(scp_path, "r") as f:
+        for line in f:
+            fields = line.strip().split(" ", 1)
+            if len(fields) != 2:
+                continue
+            yield fields[0], read_mat(fields[1])
+
+
+def read_mat_ark(ark_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    f = open_or_fd(ark_path)
+    try:
+        while True:
+            key = _read_token(f)
+            if not key:
+                break
+            yield key.decode("utf-8"), read_mat_fd(f)
+    finally:
+        f.close()
+
+
+def write_mat(f: BinaryIO, mat: np.ndarray, key: str) -> int:
+    """Append one binary float matrix; returns the value's byte offset
+    (for building scp files)."""
+    f.write(key.encode("utf-8") + b" ")
+    offset = f.tell()
+    f.write(b"\x00BFM ")
+    rows, cols = mat.shape
+    f.write(b"\x04" + struct.pack("<i", rows))
+    f.write(b"\x04" + struct.pack("<i", cols))
+    f.write(mat.astype("<f4").tobytes())
+    return offset
+
+
+def write_ark_scp(path_prefix: str, mats: Iterator[Tuple[str, np.ndarray]]):
+    """Write an ark + scp pair from (key, matrix) pairs."""
+    ark_path = path_prefix + ".ark"
+    scp_path = path_prefix + ".scp"
+    with open(ark_path, "wb") as fa, open(scp_path, "w") as fs:
+        for key, mat in mats:
+            offset = write_mat(fa, mat, key)
+            fs.write(f"{key} {ark_path}:{offset}\n")
