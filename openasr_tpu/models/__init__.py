@@ -1,0 +1,160 @@
+"""Model frameworks: linen module + params + per-component config packaging.
+
+Every model family implements the reference's Framework protocol
+(reference: src/frameworks/__init__.py:5-62): construction from YAML config
+sections via `create_model`, a loss-producing training forward, encode /
+decode entry points, and `package`/`restore` with per-component
+{config, state} pairs and key-by-key config-compatibility validation
+(reference: src/frameworks/Speech_Models.py:219-255).
+
+Here the module is pure (flax.linen) and the Framework object is a thin
+host-side owner of (module, params, configs); all compute paths are jittable
+functions of explicit params.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openasr_tpu.config import Config
+
+# Config keys tolerated to differ between a checkpoint and the current
+# model (reference skips dropout_rate and spec_aug in its checks,
+# Speech_Models.py:230-246).
+VOLATILE_CONFIG_KEYS = {"dropout_rate", "spec_aug", "dither", "dropout"}
+
+MODEL_REGISTRY: Dict[str, type] = {}
+
+
+def register_model(name: str):
+    def wrap(cls):
+        cls.model_type = name
+        MODEL_REGISTRY[name] = cls
+        return cls
+
+    return wrap
+
+
+def get_model_class(name: str) -> type:
+    if name not in MODEL_REGISTRY:
+        # import model families lazily so the registry is populated
+        import contextlib
+
+        for mod in ("speech", "cif", "cpc", "text", "lm", "gan"):
+            with contextlib.suppress(ImportError):
+                __import__(f"openasr_tpu.models.{mod}")
+    if name not in MODEL_REGISTRY:
+        raise ValueError(
+            f"Unknown model type {name!r}; known: {sorted(MODEL_REGISTRY)}"
+        )
+    return MODEL_REGISTRY[name]
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def _check_config_compat(name: str, current: dict, saved: dict) -> None:
+    for key, value in (current or {}).items():
+        if key in VOLATILE_CONFIG_KEYS:
+            continue
+        if isinstance(value, dict):
+            _check_config_compat(f"{name}.{key}", value, (saved or {}).get(key) or {})
+            continue
+        if saved is None or saved.get(key) != value:
+            raise ValueError(
+                f"{name} config mismatch on {key!r}: "
+                f"current={value!r} saved={(saved or {}).get(key)!r}"
+            )
+
+
+class Framework:
+    """Base: owns module + variables + configs."""
+
+    model_type: str = "base"
+
+    def __init__(
+        self,
+        module,
+        params,
+        configs: Config,
+        batch_stats: Optional[Any] = None,
+    ):
+        self.module = module
+        self.params = params
+        self.configs = configs if isinstance(configs, Config) else Config(configs)
+        self.batch_stats = batch_stats
+
+    # ------------------------------------------------------------ variables
+
+    @property
+    def variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    def num_params(self) -> int:
+        return sum(
+            int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(self.params)
+        )
+
+    # ------------------------------------------------------------ packaging
+
+    def component_configs(self) -> Dict[str, dict]:
+        """Per-component config sections; override per family."""
+        return {k: v for k, v in self.configs.to_dict().items()}
+
+    def package(self) -> dict:
+        """Checkpoint package: model type + configs + per-component states
+        (component = top-level param-tree key)."""
+        params = _to_numpy(self.params)
+        pkg = {
+            "model_type": self.model_type,
+            "configs": self.configs.to_dict(),
+            "components": {name: params[name] for name in params},
+        }
+        if self.batch_stats is not None:
+            pkg["batch_stats"] = _to_numpy(self.batch_stats)
+        return pkg
+
+    def restore(self, pkg: dict, without_fc: bool = False) -> None:
+        """Load states after validating config compatibility.  `without_fc`
+        keeps the current (freshly initialized) output projection/embedding
+        for transfer learning (reference: Speech_Models.py:249-255,
+        train.py:126-130)."""
+        saved_cfg = pkg.get("configs", {})
+        for section, cfg in self.configs.to_dict().items():
+            if isinstance(cfg, dict):
+                _check_config_compat(section, cfg, saved_cfg.get(section))
+        new_params = dict(self.params)
+        skip = self.fc_component_names() if without_fc else ()
+        for name, state in pkg["components"].items():
+            if name in skip:
+                continue
+            if name not in new_params:
+                raise ValueError(f"Component {name!r} not in current model")
+            new_params[name] = jax.tree_util.tree_map(jnp.asarray, state)
+        self.params = new_params
+        if "batch_stats" in pkg and self.batch_stats is not None:
+            self.batch_stats = jax.tree_util.tree_map(
+                jnp.asarray, pkg["batch_stats"]
+            )
+
+    def fc_component_names(self) -> tuple:
+        """Components treated as 'fc' for without_fc partial restore."""
+        return ("decoder", "fc", "ctc_fc")
+
+    # --------------------------------------------------------------- helpers
+
+    def batch_inputs(self, batch: dict):
+        """Pick wave or feature inputs per the signal config."""
+        if self.configs.signal and self.configs.signal.get("feature_type") == "fbank":
+            return batch["waves"], batch["wave_lengths"]
+        if "feats" in batch:
+            return batch["feats"], batch["feat_lengths"]
+        return batch["waves"], batch["wave_lengths"]

@@ -1,0 +1,312 @@
+"""Transformer building blocks (flax.linen), post-LN, with KV-cached decoding.
+
+Capability parity with the reference's vendored pre-1.2 torch.nn.Transformer
+stack (reference: src/third_party/transformer.py:254-408): post-LayerNorm
+residual blocks, relu/gelu/glu feed-forward activations, padding + causal
+masks.  Re-designed for TPU decoding: the decoder layer supports an explicit
+functional KV cache so autoregressive steps are O(L) instead of the
+reference's full re-forward per step (reference: src/blocks/decoders.py:83-84
+had no cache, making beam search O(L^3)).
+
+Positional encoding reproduces the reference exactly, including its
+double-scaling quirk: `PositionalEncoding.forward` multiplies its input by
+sqrt(d_model) (reference: src/blocks/position.py:26-33), and the decoder
+ALSO pre-scales embeddings by sqrt(d_model) (reference:
+src/blocks/decoders.py:55,70), so decoder embeddings are effectively scaled
+by d_model.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Dtype = Any
+
+XAVIER_UNIFORM = nn.initializers.xavier_uniform()
+
+
+@lru_cache(maxsize=8)
+def _pe_table(d_model: int, max_len: int) -> np.ndarray:
+    """Sin/cos table [max_len, d_model] (reference: src/blocks/position.py:17-24)."""
+    pe = np.zeros((max_len, d_model), np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32)
+        * -(math.log(10000.0) / d_model)
+    )
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+def positional_encoding(
+    x: jnp.ndarray, max_len: int = 5000, offset: int = 0
+) -> jnp.ndarray:
+    """x * sqrt(d) + PE[offset : offset+T]  (applied per the reference's
+    `PositionalEncoding.forward`, src/blocks/position.py:26-33)."""
+    d_model = x.shape[-1]
+    t = x.shape[-2]
+    pe = jnp.asarray(_pe_table(d_model, max_len))
+    pe_slice = jax.lax.dynamic_slice_in_dim(pe, offset, t, axis=0)
+    return x * (d_model ** 0.5) + pe_slice.astype(x.dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    dropout_rate: float = 0.0,
+    deterministic: bool = True,
+    dropout_rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """q [B,Tq,H,D], k/v [B,Tk,H,D], bias [B|1, 1|H, Tq, Tk] -> [B,Tq,H,D].
+
+    Softmax in fp32 for stability; matmuls hit the MXU in the input dtype.
+    """
+    depth = q.shape[-1]
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(depth)
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA with separate q/k/v/out projections and optional functional KV
+    cache (cache = dict(k=[B,Tmax,H,D], v=[B,Tmax,H,D]))."""
+
+    d_model: int
+    nhead: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        assert self.d_model % self.nhead == 0
+        head_dim = self.d_model // self.nhead
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            features=(self.nhead, head_dim),
+            axis=-1,
+            kernel_init=XAVIER_UNIFORM,
+            dtype=self.dtype,
+            name=name,
+        )
+        self.q_proj = dense("q")
+        self.k_proj = dense("k")
+        self.v_proj = dense("v")
+        self.out_proj = nn.DenseGeneral(
+            features=self.d_model,
+            axis=(-2, -1),
+            kernel_init=XAVIER_UNIFORM,
+            dtype=self.dtype,
+            name="out",
+        )
+
+    def __call__(
+        self,
+        inputs_q: jnp.ndarray,
+        inputs_kv: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        q = self.q_proj(inputs_q)
+        k = self.k_proj(inputs_kv)
+        v = self.v_proj(inputs_kv)
+        rng = (
+            self.make_rng("dropout")
+            if (self.dropout_rate > 0.0 and not deterministic)
+            else None
+        )
+        out = dot_product_attention(
+            q, k, v, bias, self.dropout_rate, deterministic, rng
+        )
+        return self.out_proj(out)
+
+    def project_kv(self, inputs_kv: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Precompute K/V (cross-attention cache for decoding)."""
+        return self.k_proj(inputs_kv), self.v_proj(inputs_kv)
+
+    def attend_step(
+        self,
+        x_t: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Single-query attention against precomputed K/V.
+        x_t [B, 1, D_in]; k/v [B, Tk, H, D]."""
+        q = self.q_proj(x_t)
+        out = dot_product_attention(q, k, v, bias)
+        return self.out_proj(out)
+
+    def append_kv(
+        self, x_t: jnp.ndarray, cache_k: jnp.ndarray, cache_v: jnp.ndarray, index
+    ):
+        """Write this step's K/V into the cache at `index`; returns updated
+        caches."""
+        k_t = self.k_proj(x_t)  # [B, 1, H, D]
+        v_t = self.v_proj(x_t)
+        cache_k = jax.lax.dynamic_update_slice_in_dim(cache_k, k_t.astype(cache_k.dtype), index, axis=1)
+        cache_v = jax.lax.dynamic_update_slice_in_dim(cache_v, v_t.astype(cache_v.dtype), index, axis=1)
+        return cache_k, cache_v
+
+
+class FeedForward(nn.Module):
+    """Position-wise FFN with relu/gelu/glu (glu doubles linear1's width,
+    reference: src/third_party/transformer.py:279-281,400-408)."""
+
+    d_model: int
+    dim_feedforward: int
+    activation: str = "relu"
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        width = (
+            2 * self.dim_feedforward
+            if self.activation == "glu"
+            else self.dim_feedforward
+        )
+        h = nn.Dense(
+            width, kernel_init=XAVIER_UNIFORM, dtype=self.dtype, name="linear1"
+        )(x)
+        if self.activation == "relu":
+            h = nn.relu(h)
+        elif self.activation == "gelu":
+            h = nn.gelu(h, approximate=False)
+        elif self.activation == "glu":
+            a, b = jnp.split(h, 2, axis=-1)
+            h = a * nn.sigmoid(b)
+        else:
+            raise ValueError(f"Unknown activation {self.activation}")
+        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(
+            self.d_model, kernel_init=XAVIER_UNIFORM, dtype=self.dtype,
+            name="linear2",
+        )(h)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN encoder layer (reference: src/third_party/transformer.py:254-318)."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout_rate, self.dtype,
+            name="self_attn",
+        )(x, x, bias, deterministic)
+        x = x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        ff = FeedForward(
+            self.d_model, self.dim_feedforward, self.activation,
+            self.dropout_rate, self.dtype, name="ffn",
+        )(x, deterministic)
+        x = x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-LN decoder layer with self + cross attention
+    (reference: src/third_party/transformer.py:321-395), plus a KV-cached
+    `step` path for O(1)-per-token decoding."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout_rate, self.dtype,
+            name="self_attn",
+        )
+        self.cross_attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout_rate, self.dtype,
+            name="cross_attn",
+        )
+        self.ffn = FeedForward(
+            self.d_model, self.dim_feedforward, self.activation,
+            self.dropout_rate, self.dtype, name="ffn",
+        )
+        self.norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
+        self.norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
+        self.norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+
+    def _drop(self, x, deterministic):
+        return nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+
+    @nn.compact
+    def __call__(
+        self,
+        tgt: jnp.ndarray,
+        memory: jnp.ndarray,
+        tgt_bias: Optional[jnp.ndarray] = None,
+        memory_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        sa = self.self_attn(tgt, tgt, tgt_bias, deterministic)
+        x = self.norm1(tgt + self._drop(sa, deterministic))
+        ca = self.cross_attn(x, memory, memory_bias, deterministic)
+        x = self.norm2(x + self._drop(ca, deterministic))
+        ff = self.ffn(x, deterministic)
+        return self.norm3(x + self._drop(ff, deterministic))
+
+    def init_cache(self, batch: int, max_len: int, memory: jnp.ndarray) -> dict:
+        """Build this layer's decode cache: growing self-attn K/V plus
+        precomputed cross-attn K/V."""
+        head_dim = self.d_model // self.nhead
+        mem_k, mem_v = self.cross_attn.project_kv(memory)
+        zeros = jnp.zeros(
+            (batch, max_len, self.nhead, head_dim), dtype=self.dtype
+        )
+        return {"k": zeros, "v": zeros, "mem_k": mem_k, "mem_v": mem_v}
+
+    def step(
+        self,
+        x_t: jnp.ndarray,
+        cache: dict,
+        index,
+        self_bias_t: Optional[jnp.ndarray] = None,
+        memory_bias: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, dict]:
+        """One decode step. x_t [B,1,D]; returns ([B,1,D], new cache)."""
+        cache_k, cache_v = self.self_attn.append_kv(
+            x_t, cache["k"], cache["v"], index
+        )
+        sa = self.self_attn.attend_step(x_t, cache_k, cache_v, self_bias_t)
+        x = self.norm1(x_t + sa)
+        ca = self.cross_attn.attend_step(
+            x, cache["mem_k"], cache["mem_v"], memory_bias
+        )
+        x = self.norm2(x + ca)
+        ff = self.ffn(x, deterministic=True)
+        out = self.norm3(x + ff)
+        new_cache = dict(cache, k=cache_k, v=cache_v)
+        return out, new_cache

@@ -1,0 +1,103 @@
+"""Convolutional subsampling front-ends.
+
+Capability parity with the reference's conv layers
+(reference: src/blocks/conv_layers.py:80-150): ConvV1 = ESPNet-style double
+3x3/stride-2 (time AND freq), ConvV2 = stride-2-in-time-only stacks, Stack =
+single strided 1-D conv + LayerNorm.  Implemented as NHWC flax convs so XLA
+lowers them straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from openasr_tpu.models.layers import XAVIER_UNIFORM
+
+Dtype = Any
+
+
+def conv_out_len(length, kernel: int, stride: int):
+    """VALID conv output length."""
+    return (length - kernel) // stride + 1
+
+
+class Conv2dSubsample(nn.Module):
+    """ESPNet ConvV1: two 3x3 VALID convs with stride 2 in time and freq
+    (reference: src/blocks/conv_layers.py:99-119)."""
+
+    d_input: int
+    d_model: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_lengths: jnp.ndarray):
+        x = feats[..., None]  # [B, T, D, 1]
+        x = nn.relu(
+            nn.Conv(32, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name="conv0")(x)
+        )
+        x = nn.relu(
+            nn.Conv(32, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name="conv1")(x)
+        )
+        b, t, d, c = x.shape
+        x = x.transpose(0, 1, 3, 2).reshape(b, t, c * d)
+        x = nn.Dense(self.d_model, kernel_init=XAVIER_UNIFORM,
+                     dtype=self.dtype, name="affine")(x)
+        lengths = feat_lengths
+        for _ in range(2):
+            lengths = conv_out_len(lengths, 3, 2)
+        return x, lengths
+
+
+class Conv2dSubsampleV2(nn.Module):
+    """ConvV2: `layer_num` 3x3 VALID convs, stride 2 in time / 1 in freq
+    (reference: src/blocks/conv_layers.py:122-150)."""
+
+    d_input: int
+    d_model: int
+    layer_num: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_lengths: jnp.ndarray):
+        x = feats[..., None]
+        for i in range(self.layer_num):
+            x = nn.relu(
+                nn.Conv(32, (3, 3), strides=(2, 1), padding="VALID",
+                        dtype=self.dtype, name=f"conv{i}")(x)
+            )
+        b, t, d, c = x.shape
+        assert d == self.d_input - 2 * self.layer_num
+        x = x.transpose(0, 1, 3, 2).reshape(b, t, c * d)
+        x = nn.Dense(self.d_model, kernel_init=XAVIER_UNIFORM,
+                     dtype=self.dtype, name="affine")(x)
+        lengths = feat_lengths
+        for _ in range(self.layer_num):
+            lengths = (lengths - 1) // 2  # reference length rule
+        return x, lengths
+
+
+class Conv1dSubsample(nn.Module):
+    """Stack: one strided 1-D conv + LayerNorm (frame stacking,
+    reference: src/blocks/conv_layers.py:80-96; their version crashed on
+    uninitialized attrs — behavior reconstructed from the config surface)."""
+
+    d_input: int
+    d_model: int
+    context_width: int
+    subsample: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: jnp.ndarray, feat_lengths: jnp.ndarray):
+        x = nn.Conv(
+            self.d_model, (self.context_width,), strides=(self.subsample,),
+            padding="VALID", dtype=self.dtype, name="conv",
+        )(feats)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        lengths = conv_out_len(feat_lengths, self.context_width, self.subsample)
+        return x, lengths
