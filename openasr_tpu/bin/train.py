@@ -1,0 +1,135 @@
+"""Supervised ASR training CLI.
+
+Capability parity with reference: src/train.py:40-146 — same YAML schema
+(data / model / training sections), same model-type dispatch, same
+--continue-training and pretrained_model warm-start (with init_lr * 0.1)
+semantics.  The ngpu multiplier on the batch budget becomes the mesh's
+data-axis size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+
+from openasr_tpu.config import load_config, parse_range
+from openasr_tpu.data.collate import FeatureCollate, WaveCollate
+from openasr_tpu.data.loader import DataLoader
+from openasr_tpu.data.manifest import ArkDataset, SpeechDataset
+from openasr_tpu.data.sampler import FrameBasedSampler, TimeBasedSampler
+from openasr_tpu.data.tokenizer import CharTokenizer
+from openasr_tpu.models import get_model_class
+from openasr_tpu.parallel import make_mesh
+from openasr_tpu.solvers import get_solver_class
+from openasr_tpu.utils.checkpoint import load_package
+
+
+def setup_logging():
+    level = os.environ.get("LAS_LOG_LEVEL", "INFO")
+    logging.basicConfig(
+        level=getattr(logging, level.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(message)s",
+    )
+
+
+def build_loaders(dataconfig, trainingconfig, modelconfig, tokenizer, ndata):
+    feat_range = parse_range(dataconfig.get("feat_range")) or (1, 99999)
+    label_range = parse_range(dataconfig.get("label_range")) or (1, 100)
+    label_type = trainingconfig.get("label_type", "tokens")
+    workers = int(dataconfig.get("fetchworker_num", 2))
+
+    if modelconfig["signal"]["feature_type"] == "offline":
+        train_set = ArkDataset(
+            dataconfig["trainset"], feat_range=feat_range, label_range=label_range
+        )
+        valid_set = ArkDataset(dataconfig["devset"], reverse=True)
+        collate = FeatureCollate(
+            tokenizer, modelconfig.get("add_eos", False), label_type
+        )
+        tr_sampler = FrameBasedSampler(
+            train_set, int(trainingconfig["batch_frames"]) * ndata, ndata,
+            shuffle=True,
+        )
+        cv_sampler = FrameBasedSampler(
+            valid_set, int(trainingconfig["batch_frames"]) * ndata, ndata,
+            shuffle=False,
+        )
+    else:
+        train_set = SpeechDataset(
+            dataconfig["trainset"], feat_range=feat_range, label_range=label_range
+        )
+        valid_set = SpeechDataset(dataconfig["devset"], reverse=True)
+        collate = WaveCollate(
+            tokenizer, modelconfig.get("add_eos", False), label_type
+        )
+        tr_sampler = TimeBasedSampler(
+            train_set, int(trainingconfig["batch_time"]) * ndata, ndata,
+            shuffle=True,
+        )
+        cv_sampler = TimeBasedSampler(
+            valid_set, int(trainingconfig["batch_time"]) * ndata, ndata,
+            shuffle=False,
+        )
+    tr_loader = DataLoader(train_set, tr_sampler, collate, num_workers=workers)
+    cv_loader = DataLoader(valid_set, cv_sampler, collate, num_workers=workers)
+    return tr_loader, cv_loader
+
+
+def main(argv=None):
+    setup_logging()
+    parser = argparse.ArgumentParser(description="Train an ASR model (TPU)")
+    parser.add_argument("config", help="path to YAML config")
+    parser.add_argument("--continue-training", action="store_true",
+                        default=False)
+    parser.add_argument("--model-parallel", type=int, default=1,
+                        help="tensor-parallel degree (mesh model axis)")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config)
+    dataconfig = config["data"]
+    trainingconfig = config["training"]
+    modelconfig = config["model"]
+
+    mesh = make_mesh(model=args.model_parallel)
+    ndata = mesh.shape["data"]
+    logging.info("Mesh: %s", dict(mesh.shape))
+
+    tokenizer = CharTokenizer(
+        dataconfig["vocab_path"], add_blk=modelconfig.get("add_blk", False)
+    )
+    modelconfig["decoder"]["vocab_size"] = tokenizer.unit_num()
+
+    tr_loader, cv_loader = build_loaders(
+        dataconfig, trainingconfig, modelconfig, tokenizer, ndata
+    )
+
+    model_cls = get_model_class(modelconfig["type"])
+    model = model_cls.create_model(modelconfig, rng=jax.random.PRNGKey(0))
+    logging.info("Model %s: %.2fM params", modelconfig["type"],
+                 model.num_params() / 1e6)
+
+    pkg = None
+    if args.continue_training:
+        path = os.path.join(trainingconfig["exp_dir"], "last.pkg")
+        logging.info("Restoring from %s", path)
+        pkg = load_package(path)
+        model.restore(pkg["model"])
+    elif trainingconfig.get("pretrained_model"):
+        logging.info("Warm start from %s", trainingconfig["pretrained_model"])
+        pre = load_package(trainingconfig["pretrained_model"])
+        model.restore(pre["model"], without_fc=True)
+        trainingconfig["init_lr"] = float(trainingconfig["init_lr"]) * 0.1
+
+    solver_cls = get_solver_class(modelconfig["type"])
+    solver = solver_cls(model, trainingconfig, tr_loader, cv_loader, mesh=mesh)
+    if pkg is not None:
+        solver.restore(pkg)
+    logging.info("Start training...")
+    solver.train()
+
+
+if __name__ == "__main__":
+    main()
