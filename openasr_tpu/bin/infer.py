@@ -1,0 +1,168 @@
+"""Batch beam-search decoding CLI.
+
+Capability parity with reference: src/infer.py:29-174 — same flags, model
+reconstruction from the packaged configs (with optional --config override),
+n-best logging and `utt hyp` output lines.  Decoding itself is the jitted
+KV-cached beam search; CTC models use greedy/prefix-beam decoding over
+device-computed log-probs (the reference needed the external `ctcdecode`
+C++ package; here the prefix beam decoder is in-repo, native/ctc_decoder).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+from openasr_tpu.config import Config, load_config
+from openasr_tpu.data.collate import FeatureCollate, WaveCollate
+from openasr_tpu.data.loader import DataLoader
+from openasr_tpu.data.manifest import ArkDataset, SpeechDataset
+from openasr_tpu.data.sampler import FrameBasedSampler, TimeBasedSampler
+from openasr_tpu.data.tokenizer import CharTokenizer
+from openasr_tpu.models import get_model_class
+from openasr_tpu.utils.checkpoint import load_package
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="Decode with a trained model")
+    parser.add_argument("--model_type", required=True)
+    parser.add_argument("--model_pkg", required=True)
+    parser.add_argument("--vocab_path", required=True)
+    parser.add_argument("--json_file", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--batch_frames", type=int, default=2000)
+    parser.add_argument("--nbest", type=int, default=5)
+    parser.add_argument("--maxlen", type=int, default=80)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--label_type", type=str, default="tokens")
+    parser.add_argument("--offline", action="store_true", default=False,
+                        help="json manifests carry precomputed features")
+    parser.add_argument("--add_blk", action="store_true", default=False)
+    parser.add_argument("--split_token", action="store_true", default=False)
+    parser.add_argument("--ctc_beam", type=int, default=0,
+                        help="use CTC prefix beam search with this width "
+                             "(conv-ctc only; 0 = greedy)")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = get_args(argv)
+    t_start = time.time()
+
+    tokenizer = CharTokenizer(args.vocab_path, add_blk=args.add_blk)
+    pkg = load_package(args.model_pkg)
+    model_pkg = pkg["model"] if "model" in pkg else pkg
+
+    configs = Config(model_pkg["configs"])
+    if args.config:
+        override = load_config(args.config)
+        configs.override(override.get("model", override))
+    configs.decoder["vocab_size"] = tokenizer.unit_num()
+    # decoding is deterministic: drop SpecAug
+    if configs.signal and "spec_aug" in configs.signal:
+        del configs.signal["spec_aug"]
+
+    model_cls = get_model_class(args.model_type)
+    model = model_cls.create_model(configs)
+    model.restore(model_pkg)
+
+    if args.offline:
+        test_set = ArkDataset(args.json_file, feat_range=(1, 10**9),
+                              label_range=(0, 10**9), rate_in_out=(0, 10**9))
+        collate = FeatureCollate(tokenizer, False, label_type=args.label_type)
+        sampler = FrameBasedSampler(test_set, args.batch_frames, 1)
+    else:
+        test_set = SpeechDataset(args.json_file, feat_range=(1, 10**9),
+                                 label_range=(0, 10**9), rate_in_out=(0, 10**9))
+        collate = WaveCollate(tokenizer, False, label_type=args.label_type)
+        sampler = TimeBasedSampler(test_set, args.batch_frames, 1)
+    loader = DataLoader(test_set, sampler, collate, num_workers=2)
+
+    fd = sys.stdout if args.output.strip() == "-" else open(
+        args.output, "w", encoding="utf8"
+    )
+
+    is_ctc = args.model_type.lower() in ("conv-ctc", "conv_ctc")
+    ctc_decoder = None
+    if is_ctc and args.ctc_beam > 0:
+        from openasr_tpu.ops.prefix_beam import CTCPrefixBeamDecoder
+
+        ctc_decoder = CTCPrefixBeamDecoder(
+            beam_width=args.ctc_beam, blank_id=tokenizer.unit_num() - 1
+        )
+
+    tot_utt = 0
+    tot_audio_frames = 0
+    for batch in loader:
+        inputs, lengths = model.batch_inputs(batch)
+        utts = batch["uttids"]
+        if is_ctc:
+            logits, len_logits = model.get_logits(model.params, inputs, lengths)
+            if ctc_decoder is not None:
+                log_probs = np.asarray(
+                    jax.nn.log_softmax(logits.astype(jnp_float32()), axis=-1)
+                )
+                nbest = ctc_decoder.decode_batch(
+                    log_probs, np.asarray(len_logits)
+                )
+                preds = [[h.tokens for h in n] for n in nbest]
+                lens = [[len(h.tokens) for h in n] for n in nbest]
+                scores = [[h.score for h in n] for n in nbest]
+            else:
+                ids, idlens = model.greedy_decode(model.params, inputs, lengths)
+                ids, idlens = np.asarray(ids), np.asarray(idlens)
+                preds = [[ids[i]] for i in range(len(utts))]
+                lens = [[int(idlens[i])] for i in range(len(utts))]
+                scores = [[0.0] for _ in range(len(utts))]
+        else:
+            pred_ids, len_dec, sc = model.batch_beam_decode(
+                model.params, inputs, lengths,
+                beam_size=args.nbest, max_decode_len=args.maxlen,
+            )
+            pred_ids = np.asarray(pred_ids)
+            len_dec = np.asarray(len_dec)
+            sc = np.asarray(sc)
+            preds = [pred_ids[i] for i in range(len(utts))]
+            lens = [len_dec[i] for i in range(len(utts))]
+            scores = [sc[i] for i in range(len(utts))]
+
+        for i, utt in enumerate(utts):
+            msg = f"Results for {utt}:\n"
+            for j, (pred, ln, score) in enumerate(
+                zip(preds[i], lens[i], scores[i])
+            ):
+                hyp = tokenizer.decode(
+                    list(np.asarray(pred)[: int(ln)]),
+                    split_token=args.split_token,
+                )
+                msg += f"top{j + 1}: {hyp} score: {float(score):.10f}\n"
+                if j == 0:
+                    fd.write(f"{utt} {hyp}\n")
+            logging.info("\n%s", msg)
+        tot_utt += len(utts)
+        tot_audio_frames += int(np.sum(lengths))
+
+    dt = time.time() - t_start
+    logging.info(
+        "Decoded %d utterances in %.2f min (%.2f s/utt)",
+        tot_utt, dt / 60.0, dt / max(tot_utt, 1),
+    )
+    if fd is not sys.stdout:
+        fd.close()
+
+
+def jnp_float32():
+    import jax.numpy as jnp
+
+    return jnp.float32
+
+
+if __name__ == "__main__":
+    main()
