@@ -1,0 +1,175 @@
+"""CIF op and model-family tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from openasr_tpu.config import Config
+from openasr_tpu.models import get_model_class
+from openasr_tpu.ops.cif import cif, cif_output_lengths, scale_alphas
+
+
+def reference_cif_numpy(hidden, alphas, threshold=0.95):
+    """Direct NumPy transcription of the reference's sequential cif loop
+    (Speech_Models.py:363-413) used as a golden."""
+    b, t, d = hidden.shape
+    integrate = np.zeros(b)
+    frame = np.zeros((b, d))
+    fires, frames = [], []
+    for i in range(t):
+        alpha = alphas[:, i]
+        completion = 1.0 - integrate
+        integrate = integrate + alpha
+        fires.append(integrate.copy())
+        fire = integrate > threshold
+        integrate = np.where(fire, integrate - 1.0, integrate)
+        cur = np.where(fire, completion, alpha)
+        rem = alpha - cur
+        frame = frame + cur[:, None] * hidden[:, i]
+        frames.append(frame.copy())
+        frame = np.where(fire[:, None], rem[:, None] * hidden[:, i], frame)
+    fires = np.stack(fires, 1)
+    frames = np.stack(frames, 1)
+    out = []
+    maxn = int(np.round(alphas.sum(-1)).max())
+    for i in range(b):
+        sel = frames[i][fires[i] > threshold]
+        pad = np.zeros((maxn - len(sel), d))
+        out.append(np.concatenate([sel, pad], 0) if maxn > len(sel)
+                   else sel[:maxn])
+    return np.stack(out, 0)
+
+
+def test_cif_scan_matches_reference_loop():
+    rng = np.random.RandomState(0)
+    b, t, d = 3, 40, 8
+    hidden = rng.randn(b, t, d).astype(np.float32)
+    alphas = rng.rand(b, t).astype(np.float32) * 0.3
+    # scale to integer-ish counts like training does
+    tl = np.array([5, 4, 3], np.float32)
+    alphas = alphas * (tl / alphas.sum(-1))[:, None]
+
+    golden = reference_cif_numpy(hidden, alphas)
+    cap = golden.shape[1]
+    got = np.asarray(cif(jnp.asarray(hidden), jnp.asarray(alphas), cap))
+    np.testing.assert_allclose(got, golden[:, :cap], rtol=1e-4, atol=1e-5)
+
+
+def test_cif_output_lengths():
+    alphas = jnp.asarray(np.array([[0.5, 0.6, 0.9], [0.2, 0.2, 0.2]]))
+    lens = np.asarray(cif_output_lengths(alphas))
+    np.testing.assert_array_equal(lens, [2, 1])
+
+
+def test_scale_alphas():
+    rng = np.random.RandomState(0)
+    alphas = jnp.asarray(rng.rand(2, 10).astype(np.float32))
+    tl = jnp.asarray(np.array([4, 6], np.int32))
+    scaled, raw = scale_alphas(alphas, tl)  # no noise
+    np.testing.assert_allclose(np.asarray(scaled.sum(-1)), [4.0, 6.0], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(raw), np.asarray(alphas.sum(-1)), rtol=1e-6)
+    scaled_n, _ = scale_alphas(alphas, tl, jax.random.PRNGKey(0))
+    s = np.asarray(scaled_n.sum(-1))
+    assert np.all(np.abs(s - np.array([4.0, 6.0])) <= 0.46)
+
+
+def test_cif_gradients_flow():
+    rng = np.random.RandomState(0)
+    hidden = jnp.asarray(rng.randn(2, 20, 4).astype(np.float32))
+    alphas = jnp.asarray((rng.rand(2, 20) * 0.2).astype(np.float32))
+
+    def f(h, a):
+        return jnp.sum(cif(h, a, 4) ** 2)
+
+    gh, ga = jax.grad(f, argnums=(0, 1))(hidden, alphas)
+    assert np.isfinite(np.asarray(gh)).all()
+    assert np.isfinite(np.asarray(ga)).all()
+    assert float(jnp.abs(ga).sum()) > 0
+
+
+@pytest.fixture
+def cif_cfg():
+    return {
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer", "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "assigner": {"d_model": 32, "n_layers": 2, "w_context": 3, "dropout": 0.0},
+        "decoder": {"type": "CIF_Decoder", "vocab_size": 20, "d_model": 32,
+                    "nhead": 2, "num_layers": 1, "encoder_dim": 32,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "dropout_rate": 0.0},
+    }
+
+
+def _speech_batch():
+    rng = np.random.RandomState(0)
+    b, t, d, u = 3, 64, 20, 6
+    batch = {
+        "feats": rng.randn(b, t, d).astype(np.float32),
+        "feat_lengths": np.array([64, 48, 40], np.int32),
+        "ids": rng.randint(3, 19, (b, u)).astype(np.int32),
+        "labels": rng.randint(3, 19, (b, u)).astype(np.int32),
+        "paddings": np.zeros((b, u), np.float32),
+    }
+    batch["paddings"][:, 4:] = 1
+    return batch
+
+
+@pytest.mark.parametrize("mtype", ["CIF", "ctc_cif"])
+def test_cif_models_train_and_decode(cif_cfg, mtype):
+    cfg = Config(dict(cif_cfg, type=mtype))
+    m = get_model_class(mtype).create_model(cfg)
+    batch = _speech_batch()
+    rngs = {"dropout": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2)}
+    out = m.loss(m.params, batch, rngs, train=True, label_smooth=0.1)
+    for k, v in out.items():
+        assert np.isfinite(float(v)), (k, v)
+    if mtype == "ctc_cif":
+        assert "ctc_loss" in out
+    preds, lens, scores = m.batch_beam_decode(
+        m.params, batch["feats"], batch["feat_lengths"], beam_size=2,
+        max_decode_len=8,
+    )
+    assert preds.shape == (3, 2, 8)
+    assert np.all(np.asarray(lens) <= 8)
+
+    # package/restore
+    pkg = m.package()
+    m2 = get_model_class(mtype).create_model(cfg, rng=jax.random.PRNGKey(9))
+    m2.restore(pkg)
+    a = float(m.loss(m.params, batch, {}, train=False)["ce_loss"])
+    b_ = float(m2.loss(m2.params, batch, {}, train=False)["ce_loss"])
+    assert a == pytest.approx(b_)
+
+
+def test_cif_fc_and_mix(cif_cfg):
+    rng = np.random.RandomState(1)
+    batch = _speech_batch()
+    pbatch = {
+        "feats": batch["feats"], "feat_lengths": batch["feat_lengths"],
+        "phones": rng.randint(3, 19, (3, 5)).astype(np.int32),
+        "phone_lengths": np.array([5, 4, 3], np.int32),
+    }
+    rngs = {"dropout": jax.random.PRNGKey(1), "aug": jax.random.PRNGKey(2)}
+
+    m = get_model_class("CIF_FC").create_model(Config(dict(cif_cfg, type="CIF_FC")))
+    out = m.loss(m.params, pbatch, rngs, train=True)
+    assert all(np.isfinite(float(v)) for v in out.values())
+    ids, lens = m.greedy_phone_decode(
+        m.params, batch["feats"], batch["feat_lengths"], max_decode_len=8
+    )
+    assert ids.shape == (3, 8)
+
+    cfg = Config(dict(cif_cfg, type="CIF_MIX"))
+    cfg.decoder["type"] = "TransformerDecoder"
+    mm = get_model_class("CIF_MIX").create_model(cfg)
+    mix = dict(pbatch, ids=batch["ids"], labels=batch["labels"],
+               paddings=batch["paddings"])
+    out_paired = mm.loss(mm.params, mix, rngs, train=True)
+    assert "ce_char_loss" in out_paired
+    out_ac = mm.loss(mm.params, pbatch, rngs, train=True)
+    assert "ce_char_loss" not in out_ac
