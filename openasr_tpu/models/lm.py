@@ -1,0 +1,181 @@
+"""Language models: LSTM LM and Transformer LM.
+
+Capability parity with reference: src/blocks/lm_layers.py:31-110 and the
+(bit-rotted) src/train_lm.py entry point — restored here as working
+capabilities.  Both models use tied input/output embeddings and causal
+structure; they also serve shallow-fusion scoring during beam search.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from openasr_tpu.config import Config
+from openasr_tpu.models import Framework, register_model
+from openasr_tpu.models.layers import (
+    TransformerEncoderLayer,
+    positional_encoding,
+)
+from openasr_tpu.models.speech import target_lengths_of
+from openasr_tpu.ops.losses import cal_ce_loss
+from openasr_tpu.ops.masks import causal_bias, combine_bias, padding_bias
+
+Dtype = Any
+
+XAVIER_NORMAL = nn.initializers.xavier_normal()
+
+
+class LSTMLM(nn.Module):
+    """Embedding -> n-layer LSTM -> tied output affine
+    (reference: src/blocks/lm_layers.py:31-63)."""
+
+    vocab_size: int
+    d_model: int
+    n_layers: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.emb = nn.Embed(
+            self.vocab_size, self.d_model, embedding_init=XAVIER_NORMAL,
+            dtype=self.dtype,
+        )
+        self.out_bias = self.param(
+            "out_bias", nn.initializers.zeros, (self.vocab_size,)
+        )
+        self.cells = [
+            nn.OptimizedLSTMCell(self.d_model, dtype=self.dtype)
+            for _ in range(self.n_layers)
+        ]
+        self.rnns = [nn.RNN(cell) for cell in self.cells]
+        self.dropout = nn.Dropout(self.dropout_rate)
+
+    def __call__(self, ids, deterministic: bool = True):
+        x = self.emb(ids.astype(jnp.int32))
+        x = self.dropout(x, deterministic=deterministic)
+        for rnn in self.rnns:
+            x = rnn(x)
+        return self.emb.attend(x) + self.out_bias
+
+    def step(self, tokens, carries):
+        """One LM step for shallow fusion: tokens [B] + per-layer LSTM
+        carries -> (log-probs [B, V], new carries)."""
+        x = self.emb(tokens.astype(jnp.int32))
+        new_carries = []
+        for cell, carry in zip(self.cells, carries):
+            carry, x = cell(carry, x)
+            new_carries.append(carry)
+        logits = self.emb.attend(x) + self.out_bias
+        return jax.nn.log_softmax(logits.astype(jnp.float32), -1), new_carries
+
+    def init_carries(self, batch: int):
+        shape = (batch, self.d_model)
+        zeros = jnp.zeros(shape, self.dtype)
+        return [(zeros, zeros) for _ in range(self.n_layers)]
+
+
+class TransformerLM(nn.Module):
+    """Causal-masked transformer encoder as LM
+    (reference: src/blocks/lm_layers.py:66-110)."""
+
+    vocab_size: int
+    d_model: int
+    nhead: int
+    num_layers: int
+    dim_feedforward: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids, lengths=None, deterministic: bool = True):
+        t = ids.shape[1]
+        emb = nn.Embed(
+            self.vocab_size, self.d_model, embedding_init=XAVIER_NORMAL,
+            dtype=self.dtype, name="emb",
+        )
+        x = emb(ids.astype(jnp.int32)) * math.sqrt(self.d_model)
+        x = positional_encoding(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        bias = causal_bias(t)
+        if lengths is not None:
+            bias = combine_bias(bias, padding_bias(lengths, t))
+        for i in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout_rate, self.activation, self.dtype,
+                name=f"layer{i}",
+            )(x, bias, deterministic)
+        out_bias = self.param(
+            "out_bias", nn.initializers.zeros, (self.vocab_size,)
+        )
+        return emb.attend(x) + out_bias
+
+
+class _LMFramework(Framework):
+    def loss(self, params, batch, rngs, train=True, label_smooth=0.0, **_):
+        logits = self.module.apply(
+            {"params": params}, batch["ids"],
+            deterministic=not train, rngs=rngs if train else None,
+        )
+        return {
+            "ce_loss": cal_ce_loss(
+                logits, batch["labels"], batch["paddings"], label_smooth
+            ),
+            "n_tokens": jnp.sum(1.0 - batch["paddings"]),
+            "n_seqs": jnp.asarray(batch["ids"].shape[0], jnp.float32),
+        }
+
+    def perplexity(self, params, batch) -> float:
+        losses = self.loss(params, batch, {}, train=False)
+        return float(
+            jnp.exp(losses["ce_loss"] / jnp.maximum(losses["n_tokens"], 1.0))
+        )
+
+
+@register_model("lstm_lm")
+class LSTMLMModel(_LMFramework):
+    @classmethod
+    def create_model(cls, configs, rng=None, dtype=jnp.float32):
+        configs = Config(configs)
+        m = configs.model if configs.model else configs
+        module = LSTMLM(
+            vocab_size=int(m["vocab_size"]),
+            d_model=int(m["d_model"]),
+            n_layers=int(m.get("n_layers", 2)),
+            dropout_rate=float(m.get("dropout_rate", 0.0)),
+            dtype=dtype,
+        )
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        variables = module.init(
+            {"params": rng, "dropout": rng}, jnp.zeros((2, 8), jnp.int32)
+        )
+        return cls(module, variables["params"], configs)
+
+
+@register_model("transformer_lm")
+class TransformerLMModel(_LMFramework):
+    @classmethod
+    def create_model(cls, configs, rng=None, dtype=jnp.float32):
+        configs = Config(configs)
+        m = configs.model if configs.model else configs
+        module = TransformerLM(
+            vocab_size=int(m["vocab_size"]),
+            d_model=int(m["d_model"]),
+            nhead=int(m.get("nhead", 8)),
+            num_layers=int(m.get("num_layers", 6)),
+            dim_feedforward=int(m.get("dim_feedforward", 4 * int(m["d_model"]))),
+            dropout_rate=float(m.get("dropout_rate", 0.1)),
+            activation=m.get("activation", "relu"),
+            dtype=dtype,
+        )
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        variables = module.init(
+            {"params": rng, "dropout": rng}, jnp.zeros((2, 8), jnp.int32)
+        )
+        return cls(module, variables["params"], configs)

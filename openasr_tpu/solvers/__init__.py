@@ -135,15 +135,45 @@ class Solver:
     def mix_losses(self, losses: Dict) -> jnp.ndarray:
         raise NotImplementedError
 
-    def model_loss(self, params, batch, rngs, train):
-        return self.model.loss(
-            params, batch, rngs, train=train, label_smooth=self.label_smooth
-        )
+    def model_loss(self, params, batch, rngs, train, batch_stats=None):
+        kwargs = {"label_smooth": self.label_smooth}
+        if batch_stats is not None:
+            kwargs["batch_stats"] = batch_stats
+        return self.model.loss(params, batch, rngs, train=train, **kwargs)
 
     # ----------------------------------------------------------- train steps
 
     def _build_train_step(self) -> Callable:
         tx = self.tx
+        has_bs = self.model.batch_stats is not None
+
+        if has_bs:
+            @partial(jax.jit, donate_argnums=(0, 1, 2))
+            def train_step_bs(params, opt_state, batch_stats, batch, rng):
+                rngs = {"dropout": rng, "aug": jax.random.fold_in(rng, 1)}
+
+                def loss_fn(p):
+                    losses = self.model_loss(
+                        p, batch, rngs, True, batch_stats=batch_stats
+                    )
+                    new_bs = losses.pop("batch_stats", batch_stats)
+                    return self.mix_losses(losses), (losses, new_bs)
+
+                (loss, (losses, new_bs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, new_bs, loss, losses
+
+            def train_step(params, opt_state, batch, rng):
+                params, opt_state, new_bs, loss, losses = train_step_bs(
+                    params, opt_state, self.model.batch_stats, batch, rng
+                )
+                self.model.batch_stats = new_bs
+                return params, opt_state, loss, losses
+
+            return train_step
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, rng):
@@ -163,6 +193,19 @@ class Solver:
         return train_step
 
     def _build_eval_step(self) -> Callable:
+        has_bs = self.model.batch_stats is not None
+
+        if has_bs:
+            @jax.jit
+            def eval_step_bs(params, batch_stats, batch):
+                return self.model_loss(
+                    params, batch, {}, False, batch_stats=batch_stats
+                )
+
+            return lambda params, batch: eval_step_bs(
+                params, self.model.batch_stats, batch
+            )
+
         @jax.jit
         def eval_step(params, batch):
             return self.model_loss(params, batch, {}, False)
