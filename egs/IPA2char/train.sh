@@ -1,0 +1,4 @@
+#!/bin/bash
+source path.sh
+config=$1
+python -m openasr_tpu.bin.train_phone2char $config

@@ -1,0 +1,8 @@
+#!/bin/bash
+# Average the last N epoch checkpoints.
+source path.sh
+
+exp_dir=${1:-exp/conv-ctc-transformer}
+num=${2:-10}
+
+python $MAIN_ROOT/tools/avg_last_ckpts.py $exp_dir $num
