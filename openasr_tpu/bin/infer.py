@@ -48,6 +48,9 @@ def get_args(argv=None):
     parser.add_argument("--ctc_beam", type=int, default=0,
                         help="use CTC prefix beam search with this width "
                              "(conv-ctc only; 0 = greedy)")
+    parser.add_argument("--lm_pkg", type=str, default=None,
+                        help="LSTM LM package for shallow fusion")
+    parser.add_argument("--lm_weight", type=float, default=0.0)
     return parser.parse_args(argv)
 
 
@@ -89,6 +92,17 @@ def main(argv=None):
         args.output, "w", encoding="utf8"
     )
 
+    lm = None
+    if args.lm_pkg and args.lm_weight != 0.0:
+        lm_pkg = load_package(args.lm_pkg)
+        lm_model_pkg = lm_pkg["model"] if "model" in lm_pkg else lm_pkg
+        lm = get_model_class("lstm_lm").create_model(
+            Config(lm_model_pkg["configs"])
+        )
+        lm.restore(lm_model_pkg)
+        logging.info("Shallow fusion with %s (weight %.2f)",
+                     args.lm_pkg, args.lm_weight)
+
     is_ctc = args.model_type.lower() in ("conv-ctc", "conv_ctc")
     ctc_decoder = None
     if is_ctc and args.ctc_beam > 0:
@@ -125,6 +139,7 @@ def main(argv=None):
             pred_ids, len_dec, sc = model.batch_beam_decode(
                 model.params, inputs, lengths,
                 beam_size=args.nbest, max_decode_len=args.maxlen,
+                lm=lm, lm_weight=args.lm_weight,
             )
             pred_ids = np.asarray(pred_ids)
             len_dec = np.asarray(len_dec)

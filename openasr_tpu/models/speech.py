@@ -127,8 +127,11 @@ class ConvTransformer(Framework):
         )
 
     def batch_beam_decode(self, params, inputs, lengths, beam_size=5,
-                          max_decode_len=100):
-        """reference: Speech_Models.py:136-203; jitted KV-cached version."""
+                          max_decode_len=100, lm=None, lm_params=None,
+                          lm_weight=0.0):
+        """reference: Speech_Models.py:136-203; jitted KV-cached version,
+        optionally with LSTM-LM shallow fusion (score += lm_weight *
+        log p_lm)."""
         encoded, elens = self.encode(params, inputs, lengths)
         b = encoded.shape[0]
         enc_bb = beam_expand(encoded, beam_size)
@@ -146,9 +149,26 @@ class ConvTransformer(Framework):
                 max_decode_len, method=type(module).decode_step,
             )
 
+        lm_step_fn = init_lm_cache = None
+        if lm is not None and lm_weight != 0.0:
+            from openasr_tpu.models.lm import LSTMLM
+
+            lm_module = lm.module if hasattr(lm, "module") else lm
+            lm_p = lm_params if lm_params is not None else lm.params
+            init_lm_cache = lm_module.apply(
+                {"params": lm_p}, b * beam_size, method=LSTMLM.init_carries
+            )
+
+            def lm_step_fn(tokens, lm_cache):
+                return lm_module.apply(
+                    {"params": lm_p}, tokens, lm_cache, method=LSTMLM.step
+                )
+
         vocab = self.configs.decoder["vocab_size"]
         return batch_beam_search(
-            step_fn, cache, b, beam_size, max_decode_len, vocab
+            step_fn, cache, b, beam_size, max_decode_len, vocab,
+            lm_step_fn=lm_step_fn, init_lm_cache=init_lm_cache,
+            lm_weight=lm_weight,
         )
 
 

@@ -45,13 +45,20 @@ def batch_beam_search(
     vocab_size: int,
     sos_id: int = SOS_ID,
     eos_id: int = EOS_ID,
+    lm_step_fn: Callable = None,
+    init_lm_cache=None,
+    lm_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run beam search.
+    """Run beam search, optionally with LM shallow fusion.
 
     Args:
       step_fn: (tokens [BB], index, cache) -> (logits [BB, V], cache);
         BB = batch*beam.  Must already close over beam-expanded memory.
       init_cache: cache pytree with leading dim BB.
+      lm_step_fn: optional (tokens [BB], lm_cache) -> (log_probs [BB, V],
+        lm_cache); beam scores become log p_am + lm_weight * log p_lm.
+      init_lm_cache: LM state pytree with leading dim BB (e.g. LSTM
+        carries); it is reordered with the beams like the model cache.
 
     Returns:
       preds [B, beam, max_decode_len] (EOS-padded, no SOS),
@@ -59,6 +66,7 @@ def batch_beam_search(
       scores [B, beam] sorted descending.
     """
     bb = batch_size * beam_size
+    use_lm = lm_step_fn is not None and lm_weight != 0.0
 
     init_tokens = jnp.full((bb,), sos_id, jnp.int32)
     init_preds = jnp.full((bb, max_decode_len), eos_id, jnp.int32)
@@ -85,9 +93,13 @@ def batch_beam_search(
         return jnp.logical_and(step < max_decode_len, ~jnp.all(finished))
 
     def body(state):
-        step, tokens, preds, scores, finished, cache = state
+        step, tokens, preds, scores, finished, caches = state
+        cache, lm_cache = caches
         logits, cache = step_fn(tokens, step, cache)
         z = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if use_lm:
+            lm_logp, lm_cache = lm_step_fn(tokens, lm_cache)
+            z = z + lm_weight * lm_logp.astype(jnp.float32)
         # finished beams: force EOS with logprob 0 (score freeze)
         z = jnp.where(finished[:, None], eos_onehot_row, z)
 
@@ -107,9 +119,15 @@ def batch_beam_search(
         scores = top_scores.reshape(-1)
         finished = finished[beam_src] | (new_tokens == eos_id)
         cache = jax.tree_util.tree_map(lambda x: x[beam_src], cache)
-        return (step + 1, new_tokens, preds, scores, finished, cache)
+        if use_lm:
+            lm_cache = jax.tree_util.tree_map(
+                lambda x: x[beam_src], lm_cache
+            )
+        return (step + 1, new_tokens, preds, scores, finished,
+                (cache, lm_cache))
 
-    state = (0, init_tokens, init_preds, init_scores, init_finished, init_cache)
+    state = (0, init_tokens, init_preds, init_scores, init_finished,
+             (init_cache, init_lm_cache))
     _, _, preds, scores, _, _ = lax.while_loop(cond, body, state)
 
     # lengths: tokens before the first EOS
