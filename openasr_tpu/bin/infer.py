@@ -106,9 +106,9 @@ def main(argv=None):
     is_ctc = args.model_type.lower() in ("conv-ctc", "conv_ctc")
     ctc_decoder = None
     if is_ctc and args.ctc_beam > 0:
-        from openasr_tpu.ops.prefix_beam import CTCPrefixBeamDecoder
+        from openasr_tpu.ops.prefix_beam import make_decoder
 
-        ctc_decoder = CTCPrefixBeamDecoder(
+        ctc_decoder = make_decoder(
             beam_width=args.ctc_beam, blank_id=tokenizer.unit_num() - 1
         )
 

@@ -112,3 +112,106 @@ class CTCPrefixBeamDecoder:
             self.decode(log_probs[i], int(lengths[i]))
             for i in range(log_probs.shape[0])
         ]
+
+
+# ------------------------------------------------------------ native path
+
+def _load_native():
+    import ctypes
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(here, "native", "ctc_decoder", "libctc_decoder.so")
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    fn = lib.ctc_prefix_beam_decode_batch
+    fn.restype = None
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
+    return fn
+
+
+_NATIVE_FN = None
+_NATIVE_TRIED = False
+
+
+class NativeCTCPrefixBeamDecoder(CTCPrefixBeamDecoder):
+    """C++ fast path (native/ctc_decoder), multithreaded over the batch.
+    Same semantics as the NumPy oracle above."""
+
+    def __init__(self, *args, num_threads: int = 8, max_out_len: int = 256,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.num_threads = num_threads
+        self.max_out_len = max_out_len
+        global _NATIVE_FN, _NATIVE_TRIED
+        if not _NATIVE_TRIED:
+            _NATIVE_FN = _load_native()
+            _NATIVE_TRIED = True
+        if _NATIVE_FN is None:
+            raise RuntimeError(
+                "libctc_decoder.so not built; run `make -C native/ctc_decoder`"
+            )
+
+    def decode_batch(self, log_probs, lengths) -> List[List[Hypothesis]]:
+        import ctypes
+
+        lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+        lens = np.ascontiguousarray(lengths, dtype=np.int32)
+        b, t, v = lp.shape
+        beam = self.beam_width
+        out_tokens = np.zeros((b, beam, self.max_out_len), np.int32)
+        out_lengths = np.zeros((b, beam), np.int32)
+        out_scores = np.zeros((b, beam), np.float32)
+        _NATIVE_FN(
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            b, t, v,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            beam, self.blank_id, self.cutoff_top_n,
+            ctypes.c_float(self.cutoff_logp), self.max_out_len,
+            self.num_threads,
+            out_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        result = []
+        for i in range(b):
+            hyps = [
+                Hypothesis(
+                    tokens=tuple(out_tokens[i, k, : out_lengths[i, k]]),
+                    score=float(out_scores[i, k]),
+                )
+                for k in range(beam)
+                if out_scores[i, k] > -np.finfo(np.float32).max
+            ]
+            result.append(hyps)
+        return result
+
+    def decode(self, log_probs, length=None):
+        if length is None:
+            length = log_probs.shape[0]
+        return self.decode_batch(
+            log_probs[None], np.array([length], np.int32)
+        )[0]
+
+
+def make_decoder(beam_width=10, blank_id=0, prefer_native=True, **kwargs):
+    """Best available decoder: native C++ when built, NumPy fallback."""
+    if prefer_native:
+        try:
+            return NativeCTCPrefixBeamDecoder(
+                beam_width=beam_width, blank_id=blank_id, **kwargs
+            )
+        except RuntimeError:
+            pass
+    kwargs.pop("num_threads", None)
+    kwargs.pop("max_out_len", None)
+    return CTCPrefixBeamDecoder(beam_width=beam_width, blank_id=blank_id,
+                                **kwargs)
