@@ -1,0 +1,76 @@
+"""Pallas TPU kernels for the hot ops.
+
+`flash_attention` is the streaming attention kernel (see
+kernels/flash_attention.py). Whether the model stack routes attention through
+it is controlled here:
+
+  * env var OPENASR_FLASH_ATTENTION = "1" / "0" / "auto" (default "auto":
+    enabled on TPU backends, disabled elsewhere — on CPU the kernel only runs
+    in interpret mode, which is for tests, not speed);
+  * `set_flash_attention(True/False/None)` overrides at runtime (None = back
+    to auto).
+
+Note: the flash path computes exact softmax(QK^T)V with padding/causal
+masking but does NOT implement attention-probability dropout; residual
+dropout around the attention block still applies (the reference applied
+dropout to attention weights through torch MultiheadAttention,
+reference: src/third_party/transformer.py:161-189 — a regularization detail,
+not a capability).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from openasr_tpu.kernels.flash_attention import flash_attention  # noqa: F401
+
+_override: Optional[bool] = None
+
+
+def default_platform() -> str:
+    """The platform computations actually run on. `jax.default_backend()`
+    alone is wrong under the experimental 'axon' TPU plugin, which registers
+    itself even when JAX_PLATFORMS=cpu; tests pin jax_default_device to cpu
+    and this must win."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev if isinstance(dev, str) else dev.platform
+    return jax.default_backend()
+
+
+def set_flash_attention(value: Optional[bool]) -> None:
+    global _override
+    _override = value
+
+
+def flash_attention_enabled() -> bool:
+    if _override is not None:
+        return _override
+    env = os.environ.get("OPENASR_FLASH_ATTENTION", "auto").lower()
+    if env in ("1", "true", "on"):
+        return True
+    if env in ("0", "false", "off"):
+        return False
+    return default_platform() == "tpu"
+
+
+_fbank_override: Optional[bool] = None
+
+
+def set_fused_fbank(value: Optional[bool]) -> None:
+    global _fbank_override
+    _fbank_override = value
+
+
+def fused_fbank_enabled() -> bool:
+    if _fbank_override is not None:
+        return _fbank_override
+    env = os.environ.get("OPENASR_FUSED_FBANK", "auto").lower()
+    if env in ("1", "true", "on"):
+        return True
+    if env in ("0", "false", "off"):
+        return False
+    return default_platform() == "tpu"

@@ -44,7 +44,7 @@ def get_model_class(name: str) -> type:
         # import model families lazily so the registry is populated
         import contextlib
 
-        for mod in ("speech", "cif", "cpc", "text", "lm", "gan"):
+        for mod in ("speech", "cif", "cpc", "text", "lm", "gan", "wav2vec"):
             with contextlib.suppress(ImportError):
                 __import__(f"openasr_tpu.models.{mod}")
     if name not in MODEL_REGISTRY:

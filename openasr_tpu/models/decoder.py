@@ -22,7 +22,7 @@ from openasr_tpu.models.layers import (
     XAVIER_UNIFORM,
     positional_encoding,
 )
-from openasr_tpu.ops.masks import NEG_INF, causal_bias, combine_bias, padding_bias
+from openasr_tpu.ops.masks import NEG_INF
 
 Dtype = Any
 
@@ -84,15 +84,17 @@ class TransformerDecoder(nn.Module):
         id_lengths: jnp.ndarray,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        t_d = ids.shape[1]
         x = self._embed(ids)
         x = self.dropout(x, deterministic=deterministic)
-        tgt_bias = combine_bias(
-            causal_bias(t_d), padding_bias(id_lengths, t_d)
-        )
-        mem_bias = padding_bias(memory_lengths, memory.shape[1])
+        # Targets are right-padded, so the causal mask alone already blocks
+        # every valid query from attending padded keys; padded query rows are
+        # masked out downstream by the CE loss (reference combined causal +
+        # key-padding masks, src/blocks/decoders.py:57-81 — same losses).
         for layer in self.layers:
-            x = layer(x, memory, tgt_bias, mem_bias, deterministic)
+            x = layer(
+                x, memory, None, None, deterministic,
+                tgt_causal=True, memory_lengths=memory_lengths,
+            )
         return self._output(x)
 
     # ------------------------------------------------------- decode path
@@ -173,9 +175,8 @@ class CIFDecoder(nn.Module):
         x = positional_encoding(x)
         x = self.dropout(x, deterministic=deterministic)
         h = self.input_affine(jnp.concatenate([encoded, x], axis=-1))
-        bias = combine_bias(causal_bias(t), padding_bias(lengths, t))
         for layer in self.layers:
-            h = layer(h, bias, deterministic)
+            h = layer(h, None, deterministic, kv_lengths=lengths, causal=True)
         return self.output_affine(jnp.concatenate([encoded, h], axis=-1))
 
     def __call__(

@@ -21,7 +21,6 @@ from openasr_tpu.models.subsample import (
     Conv2dSubsample,
     Conv2dSubsampleV2,
 )
-from openasr_tpu.ops.masks import padding_bias
 
 Dtype = Any
 
@@ -78,13 +77,12 @@ class TransformerEncoder(nn.Module):
         x = positional_encoding(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
 
-        bias = padding_bias(lengths, x.shape[1])
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.dropout_rate, self.activation, self.dtype,
                 name=f"layer{i}",
-            )(x, bias, deterministic)
+            )(x, None, deterministic, kv_lengths=lengths)
         x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return x, lengths
 

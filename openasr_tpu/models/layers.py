@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from openasr_tpu.ops.masks import causal_bias, combine_bias, padding_bias
+
 Dtype = Any
 
 XAVIER_UNIFORM = nn.initializers.xavier_uniform()
@@ -120,10 +122,33 @@ class MultiHeadAttention(nn.Module):
         inputs_kv: jnp.ndarray,
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        kv_lengths: Optional[jnp.ndarray] = None,
+        causal: bool = False,
     ) -> jnp.ndarray:
+        """Either pass a dense additive `bias` [B|1, 1|H, Tq, Tk], or the
+        structured form (`kv_lengths` [B] key-padding + `causal` flag). The
+        structured form routes through the Pallas flash-attention kernel on
+        TPU (kernels/flash_attention.py); otherwise an equivalent dense bias
+        is built and the XLA einsum path runs."""
+        from openasr_tpu.kernels import (
+            flash_attention,
+            flash_attention_enabled,
+        )
+
         q = self.q_proj(inputs_q)
         k = self.k_proj(inputs_kv)
         v = self.v_proj(inputs_kv)
+        structured = bias is None and (kv_lengths is not None or causal)
+        if structured and flash_attention_enabled():
+            out = flash_attention(q, k, v, kv_lengths=kv_lengths, causal=causal)
+            return self.out_proj(out)
+        if structured:
+            parts = []
+            if kv_lengths is not None:
+                parts.append(padding_bias(kv_lengths, k.shape[1]))
+            if causal:
+                parts.append(causal_bias(q.shape[1]))
+            bias = combine_bias(*parts)
         rng = (
             self.make_rng("dropout")
             if (self.dropout_rate > 0.0 and not deterministic)
@@ -215,11 +240,13 @@ class TransformerEncoderLayer(nn.Module):
         x: jnp.ndarray,
         bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        kv_lengths: Optional[jnp.ndarray] = None,
+        causal: bool = False,
     ) -> jnp.ndarray:
         attn = MultiHeadAttention(
             self.d_model, self.nhead, self.dropout_rate, self.dtype,
             name="self_attn",
-        )(x, x, bias, deterministic)
+        )(x, x, bias, deterministic, kv_lengths=kv_lengths, causal=causal)
         x = x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         ff = FeedForward(
@@ -270,10 +297,14 @@ class TransformerDecoderLayer(nn.Module):
         tgt_bias: Optional[jnp.ndarray] = None,
         memory_bias: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        tgt_causal: bool = False,
+        memory_lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        sa = self.self_attn(tgt, tgt, tgt_bias, deterministic)
+        sa = self.self_attn(tgt, tgt, tgt_bias, deterministic, causal=tgt_causal)
         x = self.norm1(tgt + self._drop(sa, deterministic))
-        ca = self.cross_attn(x, memory, memory_bias, deterministic)
+        ca = self.cross_attn(
+            x, memory, memory_bias, deterministic, kv_lengths=memory_lengths
+        )
         x = self.norm2(x + self._drop(ca, deterministic))
         ff = self.ffn(x, deterministic)
         return self.norm3(x + self._drop(ff, deterministic))

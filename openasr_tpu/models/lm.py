@@ -23,7 +23,6 @@ from openasr_tpu.models.layers import (
 )
 from openasr_tpu.models.speech import target_lengths_of
 from openasr_tpu.ops.losses import cal_ce_loss
-from openasr_tpu.ops.masks import causal_bias, combine_bias, padding_bias
 
 Dtype = Any
 
@@ -102,15 +101,12 @@ class TransformerLM(nn.Module):
         x = emb(ids.astype(jnp.int32)) * math.sqrt(self.d_model)
         x = positional_encoding(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        bias = causal_bias(t)
-        if lengths is not None:
-            bias = combine_bias(bias, padding_bias(lengths, t))
         for i in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.dropout_rate, self.activation, self.dtype,
                 name=f"layer{i}",
-            )(x, bias, deterministic)
+            )(x, None, deterministic, kv_lengths=lengths, causal=True)
         out_bias = self.param(
             "out_bias", nn.initializers.zeros, (self.vocab_size,)
         )

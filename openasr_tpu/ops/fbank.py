@@ -178,6 +178,21 @@ def fbank(
             dither_key, frames.shape, dtype=jnp.float32
         )
 
+    from openasr_tpu.kernels import fused_fbank_enabled
+    from openasr_tpu.kernels.fbank_fused import (
+        fused_fbank_from_frames,
+        fused_fbank_supported,
+    )
+
+    if fused_fbank_enabled() and fused_fbank_supported(cfg):
+        # Fused Pallas path: DC-removal/preemphasis/window/DFT folded into
+        # matmul matrices, power+mel+log fused in VMEM.
+        mel_energies = fused_fbank_from_frames(frames, cfg)
+        feat_lengths = num_frames_of(lengths, cfg)
+        valid = sequence_mask(feat_lengths, mel_energies.shape[1])
+        feats = jnp.where(valid[..., None], mel_energies, 0.0)
+        return feats, feat_lengths
+
     if cfg.remove_dc_offset:
         frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
 

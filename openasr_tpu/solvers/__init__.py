@@ -46,6 +46,30 @@ def array_fields(batch: dict) -> dict:
     return {k: v for k, v in batch.items() if hasattr(v, "ndim")}
 
 
+def freeze_until(n_updates: int, component_names: tuple):
+    """optax transform that zeroes updates for the given top-level param
+    components during the first `n_updates` optimizer steps — the exact
+    semantics of wav2vec's `freeze_finetune_updates` gating
+    (reference: src/blocks/wav2vec_encoder.py:123-149), expressed as a pure
+    step-counted gate so it lives inside the jitted train step."""
+
+    def init_fn(params):
+        del params
+        return {"count": jnp.zeros([], jnp.int32)}
+
+    def update_fn(updates, state, params=None):
+        del params
+        factor = (state["count"] >= n_updates).astype(jnp.float32)
+        new_updates = {}
+        for key, tree in updates.items():
+            if key in component_names:
+                tree = jax.tree_util.tree_map(lambda u: u * factor, tree)
+            new_updates[key] = tree
+        return new_updates, {"count": state["count"] + 1}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 class Solver:
     """Base solver; subclasses define `mix_losses` and `loss_keys`."""
 
@@ -109,6 +133,10 @@ class Solver:
         else:
             raise ValueError(f"Unknown optimizer {opt_type}")
         chain = []
+        gate = getattr(self.model, "freeze_gate", None)
+        if gate:
+            components, n_updates = gate
+            chain.append(freeze_until(int(n_updates), tuple(components)))
         if self.grad_max_norm > 0:
             chain.append(optax.clip_by_global_norm(self.grad_max_norm))
         chain.append(opt)
@@ -246,10 +274,14 @@ class Solver:
         loader = self.cv_loader if cross_valid else self.tr_loader
         timer = Timer()
         timer.tic()
-        tot: Dict[str, float] = {}
-        tot_main = 0.0
-        tot_norm = 0.0
-        tot_seqs = 0
+        # Loss totals are accumulated ON DEVICE and only pulled to the host at
+        # print intervals / epoch end — a per-batch float() would force a
+        # device sync every step and stall the TPU dispatch pipeline (the
+        # reference's .item() calls had the same cost on GPU,
+        # src/solvers/transformer.py:44-55, but PyTorch eager hid it).
+        tot: Dict[str, jnp.ndarray] = {}
+        tot_norm = None
+        tot_seqs = None
 
         if not cross_valid and self.accumulate_grad_batch > 1:
             if self._grad_accum is None:
@@ -267,6 +299,7 @@ class Solver:
             if cross_valid:
                 losses = self._eval_step(params, arrays)
             else:
+                self._maybe_profile()
                 rng = jax.random.fold_in(self.rng, self.step * 8191 + niter)
                 if self.accumulate_grad_batch > 1:
                     acc, loss, losses = grad_step(params, arrays, rng, acc)
@@ -286,27 +319,96 @@ class Solver:
                     self.model.params = params
                     self.step += 1
 
-            main = float(losses[self.main_loss_key])
-            norm = float(losses[self.main_loss_norm])
-            tot_main += main
-            tot_norm += norm
-            tot_seqs += int(losses["n_seqs"])
+            norm = losses[self.main_loss_norm]
+            tot_norm = norm if tot_norm is None else tot_norm + norm
+            seqs = losses["n_seqs"]
+            tot_seqs = seqs if tot_seqs is None else tot_seqs + seqs
             for k in losses:
                 if k.endswith("_loss"):
-                    tot[k] = tot.get(k, 0.0) + float(losses[k])
+                    tot[k] = tot[k] + losses[k] if k in tot else losses[k]
 
             if niter % self.print_inteval == 0:
+                host_norm = max(float(tot_norm), 1.0)
+                host_tot = {k: float(v) for k, v in tot.items()}
+                sent_per_sec = float(tot_seqs) / max(timer.toc(), 1e-9)
                 parts = " ".join(
-                    f"{k}: {v / max(tot_norm, 1.0):.3f}" for k, v in tot.items()
+                    f"{k}: {v / host_norm:.3f}" for k, v in host_tot.items()
                 )
                 logger.info(
                     "Epoch %d | Step %d | Batch %d/%d | %s | lr %.3e | "
                     "sent/sec %.2f",
                     self.epoch, self.step, niter, tot_iters, parts,
-                    self.current_lr(), tot_seqs / max(timer.toc(), 1e-9),
+                    self.current_lr(), sent_per_sec,
+                )
+                self._log_metrics(
+                    {
+                        "phase": "cv" if cross_valid else "train",
+                        "epoch": self.epoch,
+                        "step": self.step,
+                        "batch": niter,
+                        "lr": self.current_lr(),
+                        "sent_per_sec": sent_per_sec,
+                        **{k: v / host_norm for k, v in host_tot.items()},
+                    }
                 )
 
-        return tot_main / max(tot_norm, 1e-9)
+        if getattr(self, "_profiling", False):
+            # epoch ended inside the trace window: close the trace so the
+            # dump is written even for short runs
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self._profiled = True
+            logger.info("profiler: trace stopped (epoch end)")
+
+        if tot_norm is None:
+            return 0.0
+        return float(tot[self.main_loss_key]) / max(float(tot_norm), 1e-9)
+
+    # -------------------------------------------------------- observability
+
+    def _log_metrics(self, record: dict) -> None:
+        """Append one JSON line to exp_dir/metrics.jsonl (the rebuild's
+        replacement for the reference's removed tensorboardX logging,
+        reference: src/utils.py:14 TENSORBOARD_LOGGING stub)."""
+        import json
+
+        def _py(v):
+            if hasattr(v, "item"):
+                return v.item()
+            return v
+
+        record = {"time": time.time(), **{k: _py(v) for k, v in record.items()}}
+        with open(os.path.join(self.exp_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def _maybe_profile(self) -> None:
+        """jax.profiler trace over a configured step window:
+        training.profile: {start_step: int, num_steps: int, logdir: str}."""
+        prof = self.config.get("profile")
+        if not prof:
+            return
+        start = int(prof.get("start_step", 10))
+        num = int(prof.get("num_steps", 5))
+        if (
+            start <= self.step < start + num
+            and not getattr(self, "_profiling", False)
+            and not getattr(self, "_profiled", False)
+        ):
+            logdir = prof.get(
+                "logdir", os.path.join(self.exp_dir, "profile")
+            )
+            jax.profiler.start_trace(logdir)
+            self._profiling = True
+            logger.info("profiler: trace started -> %s", logdir)
+        elif getattr(self, "_profiling", False) and self.step >= start + num:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(),
+                jax.tree_util.tree_leaves(self.model.params)[:1],
+            )
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self._profiled = True
+            logger.info("profiler: trace stopped")
 
     def train(self) -> None:
         best_cv = min(self.cv_loss) if self.cv_loss else 9e20
@@ -324,6 +426,17 @@ class Solver:
                 "Epoch %d done: tr %.4f cv %.4f (best %.4f) in %.1f min",
                 self.epoch, tr_loss, cv_loss, best_cv,
                 (time.time() - t0) / 60.0,
+            )
+            self._log_metrics(
+                {
+                    "phase": "epoch",
+                    "epoch": self.epoch,
+                    "step": self.step,
+                    "tr_loss": tr_loss,
+                    "cv_loss": cv_loss,
+                    "best_cv": best_cv,
+                    "minutes": (time.time() - t0) / 60.0,
+                }
             )
             self.tr_loss.append(tr_loss)
             self.cv_loss.append(cv_loss)
@@ -415,6 +528,7 @@ SOLVER_REGISTRY = {
     "conv-ctc-transformer": CTCCESolver,
     "conv-ctc": CTCSolver,
     "gru_ctc": CTCSolver,
+    "wav2vec_ctc": CTCSolver,
 }
 
 

@@ -1,0 +1,157 @@
+"""Flash-attention kernel correctness (CPU interpret mode) and its wiring
+into the transformer layers.
+
+On CPU the Pallas kernel runs through the interpreter, so shapes are kept
+tiny; the TPU path is exercised by bench.py and the driver's compile checks.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openasr_tpu.kernels import set_flash_attention
+from openasr_tpu.kernels.flash_attention import flash_attention
+
+
+def ref_attn(q, k, v, kv_lengths=None, causal=False):
+    b, tq, h, d = q.shape
+    tk = k.shape[1]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / math.sqrt(d)
+    kpos = jnp.arange(tk)
+    if kv_lengths is not None:
+        s = jnp.where(
+            kpos[None, None, None, :] < kv_lengths[:, None, None, None],
+            s, -1e30,
+        )
+    if causal:
+        qpos = jnp.arange(tq)
+        s = jnp.where(
+            kpos[None, None, None, :] <= qpos[None, None, :, None], s, -1e30
+        )
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32)).astype(
+        q.dtype
+    )
+
+
+@pytest.mark.parametrize(
+    "b,t,h,d,causal,use_len",
+    [
+        (2, 40, 2, 16, False, True),
+        (1, 24, 1, 8, True, False),
+        (2, 33, 2, 16, True, True),
+    ],
+)
+def test_flash_matches_reference(b, t, h, d, causal, use_len):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    lens = (
+        jnp.asarray(rng.randint(t // 2, t, b), jnp.int32) if use_len else None
+    )
+    out = flash_attention(
+        q, k, v, kv_lengths=lens, causal=causal, block_q=16, block_k=16,
+        interpret=True,
+    )
+    ref = ref_attn(q, k, v, lens, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_gradients_match_reference():
+    rng = np.random.RandomState(1)
+    b, t, h, d = 2, 24, 2, 16
+    q = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    lens = jnp.asarray([20, 13], jnp.int32)
+
+    def f1(q, k, v):
+        return jnp.sum(
+            jnp.sin(
+                flash_attention(
+                    q, k, v, kv_lengths=lens, causal=True, block_q=8,
+                    block_k=8, interpret=True,
+                )
+            )
+        )
+
+    def f2(q, k, v):
+        return jnp.sum(jnp.sin(ref_attn(q, k, v, lens, causal=True)))
+
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_encoder_same_output_flash_vs_dense():
+    """The encoder must produce identical valid-frame outputs whether
+    attention runs through the Pallas kernel or the dense-bias XLA path."""
+    from openasr_tpu.models.encoder import TransformerEncoder
+
+    enc = TransformerEncoder(
+        input_dim=8, d_model=16, nhead=2, dim_feedforward=32, num_layers=2
+    )
+    rng = np.random.RandomState(2)
+    feats = jnp.asarray(rng.randn(2, 20, 8), jnp.float32)
+    lengths = jnp.asarray([20, 11], jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), feats, lengths)
+
+    set_flash_attention(False)
+    try:
+        dense_out, dense_len = enc.apply(params, feats, lengths)
+        set_flash_attention(True)
+        flash_out, flash_len = enc.apply(params, feats, lengths)
+    finally:
+        set_flash_attention(None)
+
+    assert np.array_equal(np.asarray(dense_len), np.asarray(flash_len))
+    mask = np.arange(20)[None, :] < np.asarray(lengths)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(flash_out)[mask], np.asarray(dense_out)[mask], atol=2e-4
+    )
+
+
+def test_decoder_loss_flash_vs_dense():
+    """Training loss of the flagship model must agree between attention
+    backends (valid positions only feed the loss)."""
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+
+    cfg = Config({
+        "type": "conv-transformer",
+        "add_eos": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer", "input_dim": 8, "d_model": 16,
+                    "nhead": 2, "dim_feedforward": 32, "num_layers": 1,
+                    "dropout_rate": 0.0},
+        "decoder": {"type": "TransformerDecoder", "vocab_size": 20,
+                    "d_model": 16, "nhead": 2, "num_layers": 1,
+                    "encoder_dim": 16, "dim_feedforward": 32,
+                    "dropout_rate": 0.0},
+    })
+    model = get_model_class(cfg.type).create_model(cfg)
+    rng = np.random.RandomState(3)
+    batch = {
+        "feats": jnp.asarray(rng.randn(2, 24, 8), jnp.float32),
+        "feat_lengths": jnp.asarray([24, 15], jnp.int32),
+        "ids": jnp.asarray(rng.randint(3, 19, (2, 6)), jnp.int32),
+        "labels": jnp.asarray(rng.randint(3, 19, (2, 6)), jnp.int32),
+        "paddings": jnp.asarray(
+            [[0, 0, 0, 0, 0, 0], [0, 0, 0, 1, 1, 1]], jnp.float32
+        ),
+    }
+    set_flash_attention(False)
+    try:
+        dense = model.loss(model.params, batch, {}, train=False)
+        set_flash_attention(True)
+        flash = model.loss(model.params, batch, {}, train=False)
+    finally:
+        set_flash_attention(None)
+    np.testing.assert_allclose(
+        float(flash["ce_loss"]), float(dense["ce_loss"]), rtol=2e-4
+    )
