@@ -103,7 +103,9 @@ def main(argv=None):
         logging.info("Shallow fusion with %s (weight %.2f)",
                      args.lm_pkg, args.lm_weight)
 
-    is_ctc = args.model_type.lower() in ("conv-ctc", "conv_ctc")
+    is_ctc = args.model_type.lower() in (
+        "conv-ctc", "conv_ctc", "gru_ctc", "wav2vec_ctc"
+    )
     ctc_decoder = None
     if is_ctc and args.ctc_beam > 0:
         from openasr_tpu.ops.prefix_beam import make_decoder

@@ -38,6 +38,9 @@ def default_platform() -> str:
     dev = jax.config.jax_default_device
     if dev is not None:
         return dev if isinstance(dev, str) else dev.platform
+    env = os.environ.get("JAX_PLATFORMS", "")
+    if env:
+        return env.split(",")[0].strip()
     return jax.default_backend()
 
 
