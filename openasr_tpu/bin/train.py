@@ -14,6 +14,7 @@ import logging
 import os
 
 import jax
+import jax.numpy as jnp
 
 from openasr_tpu.config import load_config, parse_range
 from openasr_tpu.data.collate import FeatureCollate, WaveCollate
@@ -106,8 +107,15 @@ def main(argv=None):
         dataconfig, trainingconfig, modelconfig, tokenizer, ndata
     )
 
+    # bf16 compute (fp32 params/optimizer) is the TPU-native mixed-precision
+    # mode: training.compute_dtype: bfloat16
+    dtype_name = str(trainingconfig.get("compute_dtype", "float32"))
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+
     model_cls = get_model_class(modelconfig["type"])
-    model = model_cls.create_model(modelconfig, rng=jax.random.PRNGKey(0))
+    model = model_cls.create_model(
+        modelconfig, rng=jax.random.PRNGKey(0), dtype=dtype
+    )
     logging.info("Model %s: %.2fM params", modelconfig["type"],
                  model.num_params() / 1e6)
 

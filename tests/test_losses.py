@@ -120,3 +120,28 @@ def test_qua_loss():
     a = np.array([3.0, 4.0])
     b = np.array([0.0, 0.0])
     assert np.isclose(float(cal_qua_loss(a, b)), 5.0)
+
+
+def test_ctc_zero_infinity_for_impossible_alignment():
+    """T shorter than the label structure requires -> loss and grads zeroed
+    (torch zero_infinity semantics) instead of 1e30 poisoning the batch."""
+    import jax
+    import jax.numpy as jnp
+    from openasr_tpu.ops.ctc import cal_ctc_loss
+
+    rng = np.random.RandomState(3)
+    b, t, v, u = 2, 4, 6, 4
+    logits = jnp.asarray(rng.randn(b, t, v), jnp.float32)
+    targets = jnp.asarray([[1, 1, 1, 1], [1, 2, 3, 1]], jnp.int32)
+    # row 0 needs >= 7 frames (repeats), has 4 -> impossible; row 1 feasible
+    ll = jnp.asarray([4, 4], jnp.int32)
+    tl = jnp.asarray([4, 4], jnp.int32)
+
+    def f(lg):
+        return cal_ctc_loss(lg, ll, targets, tl)
+
+    loss, grads = jax.value_and_grad(f)(logits)
+    assert np.isfinite(float(loss)) and float(loss) < 1e9
+    g = np.asarray(grads)
+    assert np.all(np.abs(g[0]) == 0.0), "impossible row must not produce grads"
+    assert np.any(np.abs(g[1]) > 0.0)
