@@ -190,18 +190,51 @@ def bench_torch_cpu() -> float:
     return B * n_steps / dt
 
 
+def bench_decode_rtf() -> float:
+    """Steady-state jitted beam-search RTF (batch of 10 s utterances)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _flagship_config
+    from openasr_tpu.models import get_model_class
+
+    cfg = _flagship_config(vocab_size=VOCAB, d_model=256, layers=4)
+    model = get_model_class(cfg.type).create_model(cfg)
+    b, t = 8, 1000  # 10 s per utterance at 10 ms frames
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(b, t, D), jnp.float32)
+    lens = jnp.asarray([t] * b, jnp.int32)
+
+    def decode(feats, lens):
+        return model.batch_beam_decode(
+            model.params, feats, lens, beam_size=5, max_decode_len=60
+        )
+
+    jd = jax.jit(decode)
+    jax.block_until_ready(jd(feats, lens))  # compile
+    n = 2 if FAST else 5
+    t0 = time.time()
+    for _ in range(n):
+        out = jd(feats, lens)
+    jax.block_until_ready(out)
+    return ((time.time() - t0) / n) / (b * t * 0.01)
+
+
 def main():
     jax_tput = bench_jax()
     torch_tput = bench_torch_cpu()
+    detail = {
+        "batch": B, "frames": T, "d_model": D_MODEL, "layers": LAYERS,
+        "torch_cpu_utts_per_sec": round(torch_tput, 3),
+    }
+    if os.environ.get("BENCH_DECODE", "1") == "1":
+        detail["beam_decode_rtf"] = round(bench_decode_rtf(), 5)
     result = {
         "metric": "train_throughput_conv_ctc_transformer",
         "value": round(jax_tput, 3),
         "unit": "utts/sec/chip",
         "vs_baseline": round(jax_tput / torch_tput, 3),
-        "detail": {
-            "batch": B, "frames": T, "d_model": D_MODEL, "layers": LAYERS,
-            "torch_cpu_utts_per_sec": round(torch_tput, 3),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 

@@ -87,7 +87,14 @@ def main(argv=None):
                         default=False)
     parser.add_argument("--model-parallel", type=int, default=1,
                         help="tensor-parallel degree (mesh model axis)")
+    parser.add_argument("--distributed", action="store_true", default=False,
+                        help="multi-host: call jax.distributed.initialize() "
+                             "(same train-step code; the mesh spans all "
+                             "hosts' chips over ICI/DCN)")
     args = parser.parse_args(argv)
+
+    if args.distributed or os.environ.get("OPENASR_MULTIHOST") == "1":
+        jax.distributed.initialize()
 
     config = load_config(args.config)
     dataconfig = config["data"]

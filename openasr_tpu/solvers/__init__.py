@@ -34,6 +34,7 @@ from openasr_tpu.parallel import make_mesh, shard_batch
 from openasr_tpu.parallel.mesh import param_shardings, replicated
 from openasr_tpu.utils import Timer
 from openasr_tpu.utils.checkpoint import (
+    AsyncCheckpointer,
     cleanup_ckpt,
     load_package,
     save_package,
@@ -440,6 +441,8 @@ class Solver:
             )
             self.tr_loss.append(tr_loss)
             self.cv_loss.append(cv_loss)
+            if hasattr(self, "_ckpt"):
+                self._ckpt.wait()  # drain async writes before retention
             if self.num_last_ckpt_keep:
                 cleanup_ckpt(self.exp_dir, int(self.num_last_ckpt_keep))
 
@@ -472,7 +475,9 @@ class Solver:
         return pkg
 
     def save(self, path: str) -> None:
-        save_package(self.package(), path)
+        if not hasattr(self, "_ckpt"):
+            self._ckpt = AsyncCheckpointer()
+        self._ckpt.save(self.package(), path)
 
     def restore(self, pkg: dict) -> None:
         state = pkg["solver_state"]

@@ -37,6 +37,41 @@ def save_package(pkg: dict, path: str) -> None:
     logger.info("Saved checkpoint %s", path)
 
 
+class AsyncCheckpointer:
+    """Orbax-style async save: device->host copy happens on the caller
+    (cheap, and guarantees a consistent snapshot), the pickle+fsync happens
+    on a background thread so the train loop never stalls on disk.  Writes
+    are serialized; `wait()` drains before exit/averaging."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._thread = None
+
+    def save(self, pkg: dict, path: str) -> None:
+        import threading
+
+        host_pkg = to_numpy_tree(pkg)  # snapshot now, write later
+        self.wait()
+
+        def _write():
+            with self._lock:
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    pickle.dump(host_pkg, f, protocol=4)
+                os.replace(tmp, path)
+                logger.info("Saved checkpoint %s", path)
+
+        self._thread = threading.Thread(target=_write, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+
 def load_package(path: str) -> dict:
     with open(path, "rb") as f:
         return pickle.load(f)
