@@ -26,7 +26,11 @@ EPOCH_RE = re.compile(r"ep-(\d+)\.pkg$")
 
 
 def to_numpy_tree(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Device arrays -> host numpy; non-array leaves (strings, ints in
+    configs) pass through untouched."""
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x, tree
+    )
 
 
 def save_package(pkg: dict, path: str) -> None:
