@@ -294,6 +294,12 @@ class Solver:
         tot_iters = len(loader)
         params = self.model.params
         for niter, batch in enumerate(loader, start=1):
+            if getattr(self, "_stop_requested", False) and not cross_valid:
+                logger.warning(
+                    "preemption: stopping epoch %d at batch %d/%d",
+                    self.epoch, niter, tot_iters,
+                )
+                break
             arrays = array_fields(batch)
             arrays = shard_batch(arrays, self.mesh)
 
@@ -365,6 +371,29 @@ class Solver:
             return 0.0
         return float(tot[self.main_loss_key]) / max(float(tot_norm), 1e-9)
 
+    def _install_preemption_handler(self) -> None:
+        """SIGTERM (and SIGUSR1, the common preemption warning on cloud
+        schedulers) triggers checkpoint-and-exit at the next batch boundary.
+        Installed only in the main thread; no-op elsewhere."""
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return
+
+        def _handler(signum, frame):
+            del frame
+            self._stop_requested = True
+            logger.warning(
+                "received signal %d: will checkpoint and stop", signum
+            )
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                signal.signal(sig, _handler)
+            except (ValueError, OSError):  # pragma: no cover
+                pass
+
     # -------------------------------------------------------- observability
 
     def _log_metrics(self, record: dict) -> None:
@@ -412,11 +441,23 @@ class Solver:
             logger.info("profiler: trace stopped")
 
     def train(self) -> None:
+        self._install_preemption_handler()
         best_cv = min(self.cv_loss) if self.cv_loss else 9e20
         while self.epoch < self.num_epoch:
             t0 = time.time()
             self.epoch += 1
             tr_loss = self.iter_one_epoch()
+            if getattr(self, "_stop_requested", False):
+                # preempted mid-epoch: persist a restartable snapshot (the
+                # interrupted epoch restarts from its beginning under
+                # --continue-training) and leave.  The reference had no
+                # preemption handling at all (SURVEY.md §5).
+                self.epoch -= 1
+                self.save(os.path.join(self.exp_dir, "last.pkg"))
+                if hasattr(self, "_ckpt"):
+                    self._ckpt.wait()
+                logger.warning("preemption: saved last.pkg, exiting")
+                return
             self.save(os.path.join(self.exp_dir, f"ep-{self.epoch:04d}.pkg"))
             self.save(os.path.join(self.exp_dir, "last.pkg"))
             cv_loss = self.iter_one_epoch(cross_valid=True)
