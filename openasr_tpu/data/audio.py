@@ -13,6 +13,7 @@ PCM scale (int16 range) that the Kaldi feature pipeline expects.
 from __future__ import annotations
 
 import io
+import os
 import struct
 import subprocess
 from typing import BinaryIO, Tuple
@@ -235,10 +236,74 @@ _BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
 _SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 
 
+_FLAC_NATIVE = None
+_FLAC_NATIVE_TRIED = False
+
+
+def _load_native_flac():
+    """native/flac_decoder fast path (~2 orders of magnitude faster than the
+    Python bit-reader); built with `make -C native/flac_decoder`."""
+    import ctypes
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    so = os.path.join(here, "native", "flac_decoder", "libflac_decoder.so")
+    if not os.path.exists(so):
+        return None
+    lib = ctypes.CDLL(so)
+    lib.flac_stream_info.restype = ctypes.c_int
+    lib.flac_stream_info.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.flac_decode.restype = ctypes.c_int64
+    lib.flac_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+    ]
+    return lib
+
+
+def _read_flac_native(data: bytes) -> Tuple[int, np.ndarray] | None:
+    import ctypes
+
+    global _FLAC_NATIVE, _FLAC_NATIVE_TRIED
+    if not _FLAC_NATIVE_TRIED:
+        _FLAC_NATIVE = _load_native_flac()
+        _FLAC_NATIVE_TRIED = True
+    if _FLAC_NATIVE is None:
+        return None
+    sr = ctypes.c_int()
+    ch = ctypes.c_int()
+    bps = ctypes.c_int()
+    total = ctypes.c_int64()
+    if _FLAC_NATIVE.flac_stream_info(
+        data, len(data), ctypes.byref(sr), ctypes.byref(ch),
+        ctypes.byref(bps), ctypes.byref(total)
+    ) != 0 or total.value <= 0:
+        return None
+    out = np.zeros((ch.value, total.value), np.int32)
+    n = _FLAC_NATIVE.flac_decode(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        total.value,
+    )
+    if n <= 0:
+        return None
+    out = out[:, :n].astype(np.float32)
+    signal = out[0] if ch.value == 1 else out.mean(axis=0)
+    return int(sr.value), signal
+
+
 def read_flac(path: str) -> Tuple[int, np.ndarray]:
-    """Decode a FLAC file (all standard subframe types, stereo decorrelation)."""
+    """Decode a FLAC file (all standard subframe types, stereo decorrelation).
+    Uses the native decoder when built; the Python path below is the
+    correctness oracle and fallback."""
     with open(path, "rb") as f:
         data = f.read()
+    native = _read_flac_native(data)
+    if native is not None:
+        return native
     if data[:4] != b"fLaC":
         raise ValueError("Not a FLAC file")
 
