@@ -46,6 +46,7 @@ class TransformerDecoder(nn.Module):
     dim_feedforward: int
     dropout_rate: float = 0.1
     activation: str = "relu"
+    remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -60,8 +61,15 @@ class TransformerDecoder(nn.Module):
             "out_bias", nn.initializers.zeros, (self.vocab_size,)
         )
         self.dropout = nn.Dropout(self.dropout_rate)
+        layer_cls = (
+            # statics: deterministic (5) and tgt_causal (6); indices count self as 0
+            # and only apply to POSITIONAL args (see __call__ below)
+            nn.remat(TransformerDecoderLayer, static_argnums=(5, 6))
+            if self.remat
+            else TransformerDecoderLayer
+        )
         self.layers = [
-            TransformerDecoderLayer(
+            layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.dropout_rate, self.activation, self.dtype,
                 name=f"layer{i}",
@@ -92,8 +100,7 @@ class TransformerDecoder(nn.Module):
         # key-padding masks, src/blocks/decoders.py:57-81 — same losses).
         for layer in self.layers:
             x = layer(
-                x, memory, None, None, deterministic,
-                tgt_causal=True, memory_lengths=memory_lengths,
+                x, memory, None, None, deterministic, True, memory_lengths
             )
         return self._output(x)
 
@@ -231,6 +238,7 @@ def transformer_decoder_from_config(cfg, dtype=jnp.float32) -> TransformerDecode
         dim_feedforward=int(cfg["dim_feedforward"]),
         dropout_rate=float(cfg.get("dropout_rate", 0.1)),
         activation=cfg.get("activation", "relu"),
+        remat=bool(cfg.get("remat", False)),
         dtype=dtype,
     )
 

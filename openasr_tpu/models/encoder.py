@@ -41,6 +41,7 @@ class TransformerEncoder(nn.Module):
     sub_layer_num: int = 2
     context_width: int = 3
     subsample: int = 1
+    remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -77,12 +78,17 @@ class TransformerEncoder(nn.Module):
         x = positional_encoding(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
 
+        layer_cls = (
+            nn.remat(TransformerEncoderLayer, static_argnums=(3, 5))
+            if self.remat
+            else TransformerEncoderLayer
+        )
         for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+            x = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.dropout_rate, self.activation, self.dtype,
                 name=f"layer{i}",
-            )(x, None, deterministic, kv_lengths=lengths)
+            )(x, None, deterministic, lengths, False)
         x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return x, lengths
 
@@ -101,6 +107,7 @@ class TransformerEncoder(nn.Module):
             sub_layer_num=int(sub.get("layer_num", 2)),
             context_width=int(cfg.get("context_width", 3)),
             subsample=int(cfg.get("subsample", 1)),
+            remat=bool(cfg.get("remat", False)),
             dtype=dtype,
         )
 

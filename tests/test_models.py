@@ -192,3 +192,40 @@ def test_online_fbank_model():
         train=True,
     )
     assert np.isfinite(float(out["ce_loss"]))
+
+
+def test_remat_layers_match_baseline():
+    """encoder.remat / decoder.remat rematerialize per layer and must be
+    bit-identical to the baseline (same RNG threading)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openasr_tpu.models.encoder import TransformerEncoder
+
+    rng = np.random.RandomState(0)
+    feats = jnp.asarray(rng.randn(2, 20, 8), jnp.float32)
+    lens = jnp.asarray([20, 13], jnp.int32)
+
+    def make(remat):
+        return TransformerEncoder(
+            input_dim=8, d_model=16, nhead=2, dim_feedforward=32,
+            num_layers=2, dropout_rate=0.1, remat=remat,
+        )
+
+    params = make(False).init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        feats, lens,
+    )
+
+    def loss(p, remat):
+        out, _ = make(remat).apply(
+            p, feats, lens, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(2)},
+        )
+        return jnp.sum(out ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, False)
+    l1, g1 = jax.value_and_grad(loss)(params, True)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
