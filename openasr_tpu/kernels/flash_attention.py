@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_K = 512
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -76,7 +76,9 @@ def _fwd_kernel(
     tk = k_ref.shape[2]
     num_kb = tk // block_k
 
-    q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [block_q, D]
+    # matmuls run in the INPUT dtype (bf16 on TPU) with fp32 accumulation —
+    # casting operands to f32 would run the MXU in f32 mode, ~4-8x slower
+    q = q_ref[0, 0]  # [block_q, D]
 
     m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
@@ -92,12 +94,12 @@ def _fwd_kernel(
 
     def body(kb, carry):
         m_i, l_i, acc = carry
-        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
+        ) * sm_scale  # [block_q, block_k] fp32
         s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
         if causal:
             qpos = qb * block_q + jax.lax.broadcasted_iota(
@@ -113,7 +115,7 @@ def _fwd_kernel(
         alpha = jnp.exp(m_i - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
@@ -154,8 +156,8 @@ def _bwd_dkv_kernel(
     tq = q_ref.shape[2]
     num_qb = tq // block_q
 
-    k = k_ref[0, 0].astype(jnp.float32)  # [block_k, D]
-    v = v_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0]  # [block_k, D]
+    v = v_ref[0, 0]
     kbias = bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
 
     dk0 = jnp.zeros((block_k, k_ref.shape[3]), jnp.float32)
@@ -165,15 +167,15 @@ def _bwd_dkv_kernel(
 
     def body(qb, carry):
         dk, dv = carry
-        q = q_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(qb * block_q, block_q), :]
+        do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :]
         lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q), :]
         delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q), :]
 
         s = jax.lax.dot_general(
-            q * sm_scale, k, (((1,), (1,)), ((), ())),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + kbias
+        ) * sm_scale + kbias
         if causal:
             qpos = qb * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -185,7 +187,7 @@ def _bwd_dkv_kernel(
         p = jnp.exp(s - lse)  # [block_q, block_k]
 
         dv = dv + jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
@@ -194,7 +196,7 @@ def _bwd_dkv_kernel(
         )
         ds = p * (dp - delta) * sm_scale
         dk = dk + jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return dk, dv
@@ -223,8 +225,8 @@ def _bwd_dq_kernel(
     tk = k_ref.shape[2]
     num_kb = tk // block_k
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0]
     delta = delta_ref[0, 0]
 
@@ -238,12 +240,12 @@ def _bwd_dq_kernel(
         kb_hi = num_kb
 
     def body(kb, dq):
-        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
-            q * sm_scale, k, (((1,), (1,)), ((), ())),
+            q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+        ) * sm_scale + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
         if causal:
             qpos = qb * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_k), 0
@@ -259,7 +261,7 @@ def _bwd_dq_kernel(
         )
         ds = p * (dp - delta) * sm_scale
         return dq + jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
