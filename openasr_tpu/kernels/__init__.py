@@ -60,6 +60,15 @@ def flash_attention_enabled() -> bool:
     return default_platform() == "tpu"
 
 
+def flash_attention_max_len() -> int:
+    """Length ceiling for routing through the Pallas kernel.  Measured on
+    v5e-class chips (see docs/DESIGN.md): the streaming kernel beats XLA's
+    fused dense attention at T<=128 (+13% end-to-end on the flagship bench)
+    but loses past T~256, where XLA's batched-matmul schedule amortizes
+    better.  Override with OPENASR_FLASH_MAX_LEN (0 = no ceiling)."""
+    return int(os.environ.get("OPENASR_FLASH_MAX_LEN", "192"))
+
+
 _fbank_override: Optional[bool] = None
 
 

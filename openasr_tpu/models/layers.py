@@ -133,13 +133,16 @@ class MultiHeadAttention(nn.Module):
         from openasr_tpu.kernels import (
             flash_attention,
             flash_attention_enabled,
+            flash_attention_max_len,
         )
 
         q = self.q_proj(inputs_q)
         k = self.k_proj(inputs_kv)
         v = self.v_proj(inputs_kv)
         structured = bias is None and (kv_lengths is not None or causal)
-        if structured and flash_attention_enabled():
+        max_len = flash_attention_max_len()
+        within = max_len <= 0 or max(q.shape[1], k.shape[1]) <= max_len
+        if structured and within and flash_attention_enabled():
             out = flash_attention(q, k, v, kv_lengths=kv_lengths, causal=causal)
             return self.out_proj(out)
         if structured:
