@@ -166,3 +166,26 @@ def test_semi_train_phone2char_cli(aux):
     path.write_text(yaml.safe_dump(cfg))
     main([str(path)])
     assert os.path.exists(aux / "exp_semi" / "last.pkg")
+
+
+def test_infer_phone2char_cli(aux):
+    """Decode with the CTC phone2char model trained above; writes hyp/ref
+    files and prints WER (reference: src/infer_phone2char.py:108-151)."""
+    from openasr_tpu.bin.infer_phone2char import main
+
+    out_dir = aux / "decode_p2c"
+    main([
+        "--model_type", "Embed_Decoder_CTC",
+        "--model_pkg", str(aux / "exp_p2c_Embed_Decoder_CTC" / "last.pkg"),
+        "--vocab_phone", str(aux / "phones.txt"),
+        "--vocab_char", str(aux / "chars.txt"),
+        "--json_file", str(aux / "pairs.json"),
+        "--output_dir", str(out_dir),
+        "--batch_phones", "64",
+        "--nbest", "1",
+        "--maxlen", "8",
+        "--add_blk",
+    ])
+    hyp = (out_dir / "hyp.txt").read_text().strip().split("\n")
+    ref = (out_dir / "ref.txt").read_text().strip().split("\n")
+    assert len(hyp) == len(ref) == 12
