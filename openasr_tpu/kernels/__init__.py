@@ -61,12 +61,14 @@ def flash_attention_enabled() -> bool:
 
 
 def flash_attention_max_len() -> int:
-    """Length ceiling for routing through the Pallas kernel.  Measured on
-    v5e-class chips (see docs/DESIGN.md): the streaming kernel beats XLA's
-    fused dense attention at T<=128 (+13% end-to-end on the flagship bench)
-    but loses past T~256, where XLA's batched-matmul schedule amortizes
-    better.  Override with OPENASR_FLASH_MAX_LEN (0 = no ceiling)."""
-    return int(os.environ.get("OPENASR_FLASH_MAX_LEN", "192"))
+    """Optional length ceiling for routing through the Pallas kernel
+    (0 = no ceiling, the default).  With the reduction dimension in the
+    pallas grid the kernel matches or beats XLA's fused dense attention from
+    T=256 up while never materializing the [B, H, Tq, Tk] scores; only
+    tiny-batch short-T micro cases measure faster on the XLA path — set
+    OPENASR_FLASH_MAX_LEN (or =-1 semantics via OPENASR_FLASH_ATTENTION=0)
+    to steer those."""
+    return int(os.environ.get("OPENASR_FLASH_MAX_LEN", "0"))
 
 
 _fbank_override: Optional[bool] = None

@@ -5,28 +5,31 @@ attention (reference: src/third_party/transformer.py:140-189, which computes
 full softmax(QK^T)V through torch.nn.MultiheadAttention) with an online-softmax
 streaming kernel: scores never leave VMEM, HBM traffic drops from
 O(B*H*Tq*Tk) to O(B*H*T*D), and the QK^T / PV matmuls run on the MXU in the
-input dtype with fp32 accumulation.
+input dtype with fp32 accumulation (casting operands to f32 would put the MXU
+in f32 mode, ~4-8x slower — measured).
 
 Design notes (TPU-first, see /opt/skills/guides/pallas_guide.md):
-  * Grid (B, H, Tq/block_q); K/V for one (b, h) live whole in VMEM (speech
-    encoder lengths after x4 subsampling are <= ~2k frames, so K/V blocks are
-    <= 2k x 128 = 512 KB in bf16 — far under the ~16 MB VMEM budget).
-  * Online softmax carries (m, l, acc) across k-blocks via fori_loop.
-  * Padding is expressed as an additive key bias [B, Tk] (0 / -inf) instead
-    of a dense [B, 1, Tq, Tk] mask; causality is computed from block indices
-    with broadcasted_iota, so no mask tensor is ever materialized.
-  * Causal attention skips k-blocks strictly above the diagonal (the loop
-    bound is data-independent — derived from program_id — so the kernel stays
-    a single compiled program).
-  * Backward follows the standard flash-attention recipe: save only the
-    logsumexp rows [B, H, Tq]; recompute P = exp(S - lse) blockwise. dK/dV
-    use a (B, H, Tk/block_k) grid looping over q-blocks; dQ uses the forward
-    grid looping over k-blocks. delta = rowsum(dO * O) is a cheap XLA op.
+  * The reduction dimension lives IN THE GRID (grid = (B, H, Qblocks,
+    Kblocks) with k innermost), so Mosaic double-buffers the K/V block
+    fetches behind the matmuls instead of serializing them in an in-kernel
+    loop.  Online-softmax state (m, l, acc) is carried across k-steps in
+    VMEM scratch, initialized at kb==0 and finalized into the output block
+    at the last kb (standard TPU flash-attention structure).
+  * Padding is an additive key bias [B, 1, Tk] (0 / -inf); causality is
+    computed from block indices with broadcasted_iota — no mask tensor is
+    materialized, and fully-above-diagonal blocks skip their compute via
+    pl.when.
+  * Backward follows the flash recipe: save only the logsumexp rows
+    [B, H, Tq, 1]; recompute P = exp(S - lse) blockwise. dK/dV use a
+    (B, H, Kblocks, Qblocks) grid accumulating in scratch; dQ uses the
+    forward grid. delta = rowsum(dO * O) is a cheap XLA op.
 
 The public entry `flash_attention` takes [B, Tq, H, D] / [B, Tk, H, D]
 (the layout the rest of the framework uses) plus an optional [B] kv_lengths
-vector and a causal flag. Head dim is zero-padded to a multiple of 128 lanes
-and sequence dims to block multiples; padded keys are masked via the bias.
+vector and a causal flag. Sequence dims are zero-padded to block multiples
+(padded keys masked via the bias); the head dim stays native when the lane
+tiling allows — a full-dim block is always legal and e.g. D=64 halves HBM
+traffic vs padding to 128.
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
 
-DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 512
 
 
@@ -54,81 +57,80 @@ def _round_up(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
+def _causal_mask(s, qb, kb, block_q, block_k):
+    qpos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    kpos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    return jnp.where(kpos <= qpos, s, NEG_INF)
+
+
 # ---------------------------------------------------------------------------
-# Forward kernel
+# Forward kernel: grid (B, H, Qblocks, Kblocks), k innermost
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(
     q_ref,      # [1, 1, block_q, D]
-    k_ref,      # [1, 1, Tk, D]
-    v_ref,      # [1, 1, Tk, D]
-    bias_ref,   # [1, 1, Tk]  additive key bias (0 valid / NEG_INF masked)
+    k_ref,      # [1, 1, block_k, D]
+    v_ref,      # [1, 1, block_k, D]
+    bias_ref,   # [1, 1, block_k]
     o_ref,      # [1, 1, block_q, D]
     lse_ref,    # [1, 1, block_q, 1]
+    m_s,        # scratch [block_q, 1] f32
+    l_s,        # scratch [block_q, 1] f32
+    acc_s,      # scratch [block_q, D] f32
     *,
     sm_scale: float,
-    block_k: int,
     causal: bool,
     block_q: int,
+    block_k: int,
 ):
     qb = pl.program_id(2)
-    tk = k_ref.shape[2]
-    num_kb = tk // block_k
+    kb = pl.program_id(3)
+    num_kb = pl.num_programs(3)
 
-    # matmuls run in the INPUT dtype (bf16 on TPU) with fp32 accumulation —
-    # casting operands to f32 would run the MXU in f32 mode, ~4-8x slower
-    q = q_ref[0, 0]  # [block_q, D]
+    @pl.when(kb == 0)
+    def _init():
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+        acc_s[:] = jnp.zeros_like(acc_s)
 
-    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc0 = jnp.zeros((block_q, q_ref.shape[3]), jnp.float32)
+    # a block is live unless it is entirely above the causal diagonal
+    live = (kb * block_k <= (qb + 1) * block_q - 1) if causal else True
 
-    if causal:
-        # only k-blocks whose start is <= the last query position matter
-        kb_hi = jax.lax.min(
-            num_kb, ((qb + 1) * block_q + block_k - 1) // block_k
-        )
-    else:
-        kb_hi = num_kb
-
-    def body(kb, carry):
-        m_i, l_i, acc = carry
-        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * sm_scale  # [block_q, block_k] fp32
-        s = s + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+        s = s + bias_ref[0, 0][None, :]
         if causal:
-            qpos = qb * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            kpos = kb * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            s = jnp.where(kpos <= qpos, s, NEG_INF)
+            s = _causal_mask(s, qb, kb, block_q, block_k)
 
-        m_new = jnp.maximum(m_i, jnp.max(s, axis=1, keepdims=True))
+        m_prev = m_s[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_i - m_new)
-        l_new = l_i * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
+        alpha = jnp.exp(m_prev - m_new)
+        m_s[:] = m_new
+        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return m_new, l_new, acc
 
-    m_f, l_f, acc = jax.lax.fori_loop(0, kb_hi, body, (m0, l0, acc0))
-
-    # fully-masked rows (all keys padded): emit zeros, lse=+inf so that the
-    # backward recompute yields p == 0 for them.
-    has_any = l_f > 0.0
-    safe_l = jnp.where(has_any, l_f, 1.0)
-    o_ref[0, 0] = (acc / safe_l * has_any).astype(o_ref.dtype)
-    lse = jnp.where(has_any, m_f + jnp.log(safe_l), -NEG_INF)
-    lse_ref[0, 0] = lse
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        l_f = l_s[:]
+        m_f = m_s[:]
+        # fully-masked rows (all keys padded): zeros out, lse=+inf so the
+        # backward recompute yields p == 0 for them.
+        has_any = l_f > 0.0
+        safe_l = jnp.where(has_any, l_f, 1.0)
+        o_ref[0, 0] = (acc_s[:] / safe_l * has_any).astype(o_ref.dtype)
+        lse_ref[0, 0] = jnp.where(has_any, m_f + jnp.log(safe_l), -NEG_INF)
 
 
 # ---------------------------------------------------------------------------
@@ -137,56 +139,52 @@ def _fwd_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref,      # [1, 1, Tq, D]
+    q_ref,      # [1, 1, block_q, D]
     k_ref,      # [1, 1, block_k, D]
     v_ref,      # [1, 1, block_k, D]
-    bias_ref,   # [1, 1, Tk]
-    do_ref,     # [1, 1, Tq, D]
-    lse_ref,    # [1, 1, Tq, 1]
-    delta_ref,  # [1, 1, Tq, 1]
+    bias_ref,   # [1, 1, block_k]
+    do_ref,     # [1, 1, block_q, D]
+    lse_ref,    # [1, 1, block_q, 1]
+    delta_ref,  # [1, 1, block_q, 1]
     dk_ref,     # [1, 1, block_k, D]
     dv_ref,     # [1, 1, block_k, D]
+    dk_s,       # scratch [block_k, D] f32
+    dv_s,       # scratch [block_k, D] f32
     *,
     sm_scale: float,
-    block_q: int,
     causal: bool,
+    block_q: int,
     block_k: int,
 ):
     kb = pl.program_id(2)
-    tq = q_ref.shape[2]
-    num_qb = tq // block_q
+    qb = pl.program_id(3)
+    num_qb = pl.num_programs(3)
 
-    k = k_ref[0, 0]  # [block_k, D]
-    v = v_ref[0, 0]
-    kbias = bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+    @pl.when(qb == 0)
+    def _init():
+        dk_s[:] = jnp.zeros_like(dk_s)
+        dv_s[:] = jnp.zeros_like(dv_s)
 
-    dk0 = jnp.zeros((block_k, k_ref.shape[3]), jnp.float32)
-    dv0 = jnp.zeros((block_k, v_ref.shape[3]), jnp.float32)
+    live = ((qb + 1) * block_q - 1 >= kb * block_k) if causal else True
 
-    qb_lo = (kb * block_k) // block_q if causal else 0
-
-    def body(qb, carry):
-        dk, dv = carry
-        q = q_ref[0, 0, pl.ds(qb * block_q, block_q), :]
-        do = do_ref[0, 0, pl.ds(qb * block_q, block_q), :]
-        lse = lse_ref[0, 0, pl.ds(qb * block_q, block_q), :]
-        delta = delta_ref[0, 0, pl.ds(qb * block_q, block_q), :]
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale + kbias
+        ) * sm_scale + bias_ref[0, 0][None, :]
         if causal:
-            qpos = qb * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            kpos = kb * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            s = jnp.where(kpos <= qpos, s, NEG_INF)
+            s = _causal_mask(s, qb, kb, block_q, block_k)
         p = jnp.exp(s - lse)  # [block_q, block_k]
 
-        dv = dv + jax.lax.dot_general(
+        dv_s[:] = dv_s[:] + jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -195,78 +193,72 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta) * sm_scale
-        dk = dk + jax.lax.dot_general(
+        dk_s[:] = dk_s[:] + jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return dk, dv
 
-    dk, dv = jax.lax.fori_loop(qb_lo, num_qb, body, (dk0, dv0))
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    @pl.when(qb == num_qb - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_s[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_s[:].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(
     q_ref,      # [1, 1, block_q, D]
-    k_ref,      # [1, 1, Tk, D]
-    v_ref,      # [1, 1, Tk, D]
-    bias_ref,   # [1, 1, Tk]
+    k_ref,      # [1, 1, block_k, D]
+    v_ref,      # [1, 1, block_k, D]
+    bias_ref,   # [1, 1, block_k]
     do_ref,     # [1, 1, block_q, D]
     lse_ref,    # [1, 1, block_q, 1]
     delta_ref,  # [1, 1, block_q, 1]
     dq_ref,     # [1, 1, block_q, D]
+    dq_s,       # scratch [block_q, D] f32
     *,
     sm_scale: float,
-    block_k: int,
     causal: bool,
     block_q: int,
+    block_k: int,
 ):
     qb = pl.program_id(2)
-    tk = k_ref.shape[2]
-    num_kb = tk // block_k
+    kb = pl.program_id(3)
+    num_kb = pl.num_programs(3)
 
-    q = q_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0]
-    delta = delta_ref[0, 0]
+    @pl.when(kb == 0)
+    def _init():
+        dq_s[:] = jnp.zeros_like(dq_s)
 
-    dq0 = jnp.zeros((block_q, q_ref.shape[3]), jnp.float32)
+    live = (kb * block_k <= (qb + 1) * block_q - 1) if causal else True
 
-    if causal:
-        kb_hi = jax.lax.min(
-            num_kb, ((qb + 1) * block_q + block_k - 1) // block_k
-        )
-    else:
-        kb_hi = num_kb
+    @pl.when(live)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
 
-    def body(kb, dq):
-        k = k_ref[0, 0, pl.ds(kb * block_k, block_k), :]
-        v = v_ref[0, 0, pl.ds(kb * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale + bias_ref[0, 0, pl.ds(kb * block_k, block_k)][None, :]
+        ) * sm_scale + bias_ref[0, 0][None, :]
         if causal:
-            qpos = qb * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0
-            )
-            kpos = kb * block_k + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 1
-            )
-            s = jnp.where(kpos <= qpos, s, NEG_INF)
+            s = _causal_mask(s, qb, kb, block_q, block_k)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         ds = p * (dp - delta) * sm_scale
-        return dq + jax.lax.dot_general(
+        dq_s[:] = dq_s[:] + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    dq = jax.lax.fori_loop(0, kb_hi, body, dq0)
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_s[:].astype(dq_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -277,27 +269,32 @@ def _bwd_dq_kernel(
 def _fwd_padded(q, k, v, bias, causal, sm_scale, block_q, block_k, interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    grid = (b, h, tq // block_q)
+    grid = (b, h, tq // block_q, tk // block_k)
     kernel = functools.partial(
-        _fwd_kernel, sm_scale=sm_scale, block_k=block_k, causal=causal,
-        block_q=block_q,
+        _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
+        block_k=block_k,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, tk, d), lambda i, j, l: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, tk, d), lambda i, j, l: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, tk), lambda i, j, l: (i, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda i, j, l, m: (i, 0, m)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, l, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, tq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
     )(q, k, v, bias)
@@ -314,52 +311,57 @@ def _bwd_padded(
     )  # [B, H, Tq, 1]
 
     dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, sm_scale=sm_scale, block_q=block_q, causal=causal,
+        _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
         block_k=block_k,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b, h, tk // block_k),
+        grid=(b, h, tk // block_k, tq // block_q),
         in_specs=[
-            pl.BlockSpec((1, 1, tq, d), lambda i, j, l: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, tk), lambda i, j, l: (i, 0, 0)),
-            pl.BlockSpec((1, 1, tq, d), lambda i, j, l: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, tq, 1), lambda i, j, l: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, tq, 1), lambda i, j, l: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, m, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda i, j, l, m: (i, 0, l)),
+            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, m, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, m, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, m, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
         interpret=interpret,
     )(q, k, v, bias, do, lse, delta)
 
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, sm_scale=sm_scale, block_k=block_k, causal=causal,
-        block_q=block_q,
+        _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
+        block_k=block_k,
     )
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(b, h, tq // block_q),
+        grid=(b, h, tq // block_q, tk // block_k),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, tk, d), lambda i, j, l: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, tk, d), lambda i, j, l: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, tk), lambda i, j, l: (i, 0, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda i, j, l, m: (i, 0, m)),
+            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, l, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda i, j, l: (i, j, l, 0)
+            (1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
     )(q, k, v, bias, do, lse, delta)
     return dq, dk, dv
@@ -436,9 +438,11 @@ def flash_attention(
     block_k = min(block_k, _round_up(tk, 128))
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)
-    d_p = max(_round_up(d, 128), 128)
+    # head dim: a full-dim block is always tiling-legal; keep native lane
+    # widths (64/32) instead of padding to 128 — halves/quarters HBM traffic
+    d_p = d if (d % 128 == 0 or d in (64, 32)) else max(_round_up(d, 128), 128)
 
-    # [B, T, H, D] -> [B, H, T, D], zero-pad T and D
+    # [B, T, H, D] -> [B, H, T, D], zero-pad T (and D if needed)
     def to_bhtd(x, t_pad):
         x = jnp.swapaxes(x, 1, 2)
         return jnp.pad(
