@@ -173,3 +173,48 @@ def test_cif_fc_and_mix(cif_cfg):
     assert "ce_char_loss" in out_paired
     out_ac = mm.loss(mm.params, pbatch, rngs, train=True)
     assert "ce_char_loss" not in out_ac
+
+
+def test_cif_mix_solver_dual_loader(cif_cfg, tmp_path):
+    """CIFMIXSolver's acoustic+paired alternation: one epoch over two tiny
+    loaders, both batch modes hitting the jitted step (the reference zipped
+    loaders with two backward passes, src/solvers/cif.py:433-492)."""
+    from openasr_tpu.parallel import make_mesh
+    from openasr_tpu.solvers import get_solver_class
+
+    rng = np.random.RandomState(0)
+    cfg = Config(dict(cif_cfg, type="CIF_MIX"))
+    cfg.decoder["type"] = "TransformerDecoder"
+    model = get_model_class("CIF_MIX").create_model(cfg)
+
+    def ac_batch():
+        return {
+            "feats": rng.randn(2, 24, 20).astype(np.float32),
+            "feat_lengths": np.array([24, 20], np.int32),
+            "phones": rng.randint(3, 19, (2, 5)).astype(np.int32),
+            "phone_lengths": np.array([5, 4], np.int32),
+        }
+
+    def paired_batch():
+        b = ac_batch()
+        b["ids"] = rng.randint(3, 19, (2, 4)).astype(np.int32)
+        b["labels"] = rng.randint(3, 19, (2, 4)).astype(np.int32)
+        b["paddings"] = np.zeros((2, 4), np.float32)
+        return b
+
+    training = Config({
+        "num_epoch": 1, "exp_dir": str(tmp_path / "exp"),
+        "print_inteval": 1000, "accumulate_grad_batch": 1,
+        "init_lr": 1e-3, "optimtype": "adam", "grad_max_norm": 5.0,
+        "label_smooth": 0.1, "lambda_ctc": 0.5, "lambda_qua": 1.0,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 50,
+                         "d_model": 16},
+    })
+    solver = get_solver_class("CIF_MIX")(
+        model, training, [paired_batch() for _ in range(2)],
+        [paired_batch()], acoustic_loader=[ac_batch() for _ in range(3)],
+        mesh=make_mesh(),
+    )
+    tr = solver.iter_one_epoch()
+    assert np.isfinite(tr)
+    assert solver.step == 3  # one step per acoustic batch
