@@ -2,7 +2,7 @@
 # Average the last N epoch checkpoints.
 source path.sh
 
-exp_dir=${1:-exp/conv-ctc-transformer}
+exp_dir=${1:-exp/cif_mix}
 num=${2:-10}
 
 python $MAIN_ROOT/tools/avg_last_ckpts.py $exp_dir $num
