@@ -112,7 +112,11 @@ def _fwd_kernel(
 
         m_prev = m_s[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
+        # guard rows with NO valid key so far: s == m_new == NEG_INF would
+        # give exp(0) = 1 per masked entry and corrupt l/acc (then the
+        # has_any finalize test).  Real masked entries underflow to 0 once
+        # any valid key raised m_new.
+        p = jnp.where(s > 0.5 * NEG_INF, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         m_s[:] = m_new
         l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)

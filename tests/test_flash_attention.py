@@ -155,3 +155,26 @@ def test_decoder_loss_flash_vs_dense():
     np.testing.assert_allclose(
         float(flash["ce_loss"]), float(dense["ce_loss"]), rtol=2e-4
     )
+
+
+def test_zero_valid_keys_row_is_safe():
+    """A row with kv_length == 0 must output zeros with zero gradients
+    (guards the exp(NEG_INF - NEG_INF) == 1 degenerate case)."""
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 16, 2, 8), jnp.float32)
+    lens = jnp.asarray([16, 0], jnp.int32)
+    out = flash_attention(
+        q, q, q, kv_lengths=lens, interpret=True, block_q=8, block_k=8
+    )
+    assert float(jnp.max(jnp.abs(out[1]))) == 0.0
+
+    g = jax.grad(
+        lambda x: jnp.sum(
+            flash_attention(
+                x, x, x, kv_lengths=lens, interpret=True, block_q=8,
+                block_k=8,
+            )
+        )
+    )(q)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.max(jnp.abs(g[1]))) == 0.0
