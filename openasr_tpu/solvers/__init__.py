@@ -305,6 +305,8 @@ class Solver:
 
             if cross_valid:
                 losses = self._eval_step(params, arrays)
+                if niter == 1:
+                    self.sample_decode(params, arrays, batch)
             else:
                 self._maybe_profile()
                 rng = jax.random.fold_in(self.rng, self.step * 8191 + niter)
@@ -393,6 +395,11 @@ class Solver:
                 signal.signal(sig, _handler)
             except (ValueError, OSError):  # pragma: no cover
                 pass
+
+    def sample_decode(self, params, arrays, batch) -> None:
+        """Hook: log a sample decode on the first dev batch (no-op by
+        default; CTC solvers print a greedy collapse, mirroring the
+        reference's dev-time sample, src/solvers/transformer.py:203-208)."""
 
     # -------------------------------------------------------- observability
 
@@ -567,6 +574,20 @@ class CTCSolver(Solver):
 
     def mix_losses(self, losses):
         return losses["ctc_loss"] / losses["n_seqs"]
+
+    def sample_decode(self, params, arrays, batch) -> None:
+        if not hasattr(self.model, "greedy_decode"):
+            return
+        try:
+            if "waves" in arrays:
+                inputs, lengths = arrays["waves"], arrays["wave_lengths"]
+            else:
+                inputs, lengths = arrays["feats"], arrays["feat_lengths"]
+            ids, lens = self.model.greedy_decode(params, inputs, lengths)
+            toks = list(np.asarray(ids)[0][: int(np.asarray(lens)[0])])
+            logger.info("dev sample greedy ids: %s", toks)
+        except Exception as exc:  # logging must never kill training
+            logger.debug("sample decode skipped: %s", exc)
 
 
 SOLVER_REGISTRY = {
