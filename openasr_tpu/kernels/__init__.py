@@ -10,12 +10,13 @@ it is controlled here:
   * `set_flash_attention(True/False/None)` overrides at runtime (None = back
     to auto).
 
-Note: the flash path computes exact softmax(QK^T)V with padding/causal
-masking but does NOT implement attention-probability dropout; residual
-dropout around the attention block still applies (the reference applied
-dropout to attention weights through torch MultiheadAttention,
-reference: src/third_party/transformer.py:161-189 — a regularization detail,
-not a capability).
+The flash path computes exact softmax(QK^T)V with padding/causal masking
+AND train-time attention-probability dropout (the reference applies dropout
+to attention weights through torch MultiheadAttention,
+reference: src/third_party/transformer.py:161-189). The in-kernel mask is a
+stateless positional hash so the forward and both backward kernels
+regenerate it bit-identically; `attention_dropout_mask` exposes the same
+mask in plain XLA for parity tests (tests/test_flash_attention.py).
 """
 
 from __future__ import annotations
@@ -30,17 +31,30 @@ from openasr_tpu.kernels.flash_attention import flash_attention  # noqa: F401
 _override: Optional[bool] = None
 
 
+_KNOWN_PLATFORMS = ("cpu", "tpu", "gpu", "cuda", "rocm")
+
+
 def default_platform() -> str:
     """The platform computations actually run on. `jax.default_backend()`
     alone is wrong under the experimental 'axon' TPU plugin, which registers
     itself even when JAX_PLATFORMS=cpu; tests pin jax_default_device to cpu
-    and this must win."""
+    and this must win.  Conversely JAX_PLATFORMS may name a PJRT *plugin*
+    ('axon') rather than a platform — returning that string verbatim would
+    silently disable every platform=='tpu' feature gate (flash attention,
+    fused fbank) on real TPU machines, so plugin names are resolved through
+    the actual default device."""
     dev = jax.config.jax_default_device
     if dev is not None:
         return dev if isinstance(dev, str) else dev.platform
     env = os.environ.get("JAX_PLATFORMS", "")
     if env:
-        return env.split(",")[0].strip()
+        plat = env.split(",")[0].strip().lower()
+        if plat in _KNOWN_PLATFORMS:
+            return plat
+        try:
+            return jax.devices()[0].platform
+        except RuntimeError:
+            return plat
     return jax.default_backend()
 
 

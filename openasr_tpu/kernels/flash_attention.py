@@ -64,11 +64,85 @@ def _causal_mask(s, qb, kb, block_q, block_k):
 
 
 # ---------------------------------------------------------------------------
+# Stateless attention-probability dropout
+#
+# The reference applies dropout to the softmax weights during training
+# (reference: src/third_party/transformer.py:161-189). Inside a streaming
+# kernel the mask for a (q-block, k-block) tile must be regenerated bit-
+# identically by the forward pass and BOTH backward kernels, which visit the
+# tiles in different grid orders.  A stateful PRNG can't do that; instead the
+# keep decision is a pure hash of (seed, batch, head, global q pos, global
+# k pos) — a murmur3-style integer finalizer evaluated elementwise on the
+# VPU.  The mask is therefore independent of block sizes and grid order, and
+# `attention_dropout_mask` below reproduces it in plain XLA for parity tests.
+# ---------------------------------------------------------------------------
+
+_GOLDEN = 0x9E3779B9  # 2^32 / golden ratio, decorrelates the seed/bh mix
+
+
+def _hash_u32(x):
+    """murmur3 fmix32: full avalanche on uint32."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _keep_from_positions(seed, bh, qpos, kpos, keep_thresh):
+    """seed/bh: uint32 scalars; qpos/kpos: uint32 arrays.
+    Returns bool keep mask (True = keep)."""
+    x = qpos * jnp.uint32(2654435761) + kpos
+    x = x ^ (seed + bh * jnp.uint32(_GOLDEN))
+    return _hash_u32(x) < keep_thresh
+
+
+def _keep_threshold(dropout_rate: float) -> jnp.uint32:
+    return jnp.uint32(
+        min(int(round((1.0 - dropout_rate) * 4294967296.0)), 4294967295)
+    )
+
+
+def attention_dropout_mask(
+    seed, b: int, h: int, tq: int, tk: int, dropout_rate: float
+) -> jnp.ndarray:
+    """Pure-XLA replica of the in-kernel dropout mask: bool [B, H, Tq, Tk],
+    True = keep.  Used by parity tests; the kernel never materializes it."""
+    seed = jnp.asarray(seed, jnp.uint32).reshape(())
+    bh = (
+        jnp.arange(b, dtype=jnp.uint32)[:, None] * jnp.uint32(h)
+        + jnp.arange(h, dtype=jnp.uint32)[None, :]
+    )[:, :, None, None]
+    qpos = jnp.arange(tq, dtype=jnp.uint32)[None, None, :, None]
+    kpos = jnp.arange(tk, dtype=jnp.uint32)[None, None, None, :]
+    x = qpos * jnp.uint32(2654435761) + kpos
+    x = x ^ (seed + bh * jnp.uint32(_GOLDEN))
+    return _hash_u32(x) < _keep_threshold(dropout_rate)
+
+
+def _block_keep(seed_ref, bh, qb, kb, block_q, block_k, shape, dropout_rate):
+    """In-kernel keep mask for the (batch*H + head, qb, kb) tile.  `bh` must
+    be read from program_id at kernel top level (program_id does not lower
+    inside pl.when bodies in interpret mode)."""
+    qpos = (qb * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0))
+    kpos = (kb * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+    return _keep_from_positions(
+        seed_ref[0],
+        bh.astype(jnp.uint32),
+        qpos.astype(jnp.uint32),
+        kpos.astype(jnp.uint32),
+        _keep_threshold(dropout_rate),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Forward kernel: grid (B, H, Qblocks, Kblocks), k innermost
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(
+    seed_ref,   # SMEM [1] uint32 (ignored when dropout_rate == 0)
     q_ref,      # [1, 1, block_q, D]
     k_ref,      # [1, 1, block_k, D]
     v_ref,      # [1, 1, block_k, D]
@@ -83,10 +157,12 @@ def _fwd_kernel(
     causal: bool,
     block_q: int,
     block_k: int,
+    dropout_rate: float,
 ):
     qb = pl.program_id(2)
     kb = pl.program_id(3)
     num_kb = pl.num_programs(3)
+    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(kb == 0)
     def _init():
@@ -119,7 +195,14 @@ def _fwd_kernel(
         p = jnp.where(s > 0.5 * NEG_INF, jnp.exp(s - m_new), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         m_s[:] = m_new
+        # dropout hits the NORMALIZED weights, so l (the softmax denominator)
+        # accumulates the undropped p while acc gets the dropped+rescaled one.
         l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if dropout_rate > 0.0:
+            keep = _block_keep(
+                seed_ref, bh, qb, kb, block_q, block_k, p.shape, dropout_rate
+            )
+            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
         acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -143,6 +226,7 @@ def _fwd_kernel(
 
 
 def _bwd_dkv_kernel(
+    seed_ref,   # SMEM [1] uint32
     q_ref,      # [1, 1, block_q, D]
     k_ref,      # [1, 1, block_k, D]
     v_ref,      # [1, 1, block_k, D]
@@ -159,10 +243,12 @@ def _bwd_dkv_kernel(
     causal: bool,
     block_q: int,
     block_k: int,
+    dropout_rate: float,
 ):
     kb = pl.program_id(2)
     qb = pl.program_id(3)
     num_qb = pl.num_programs(3)
+    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(qb == 0)
     def _init():
@@ -188,14 +274,27 @@ def _bwd_dkv_kernel(
             s = _causal_mask(s, qb, kb, block_q, block_k)
         p = jnp.exp(s - lse)  # [block_q, block_k]
 
+        # with O = (P o D) V (D = keep/(1-rate)):
+        #   dV = (P o D)^T dO;   dP = (dO V^T) o D;
+        #   dS = P o (dP - delta), delta = rowsum(dO o O) unchanged.
+        if dropout_rate > 0.0:
+            keep = _block_keep(
+                seed_ref, bh, qb, kb, block_q, block_k, p.shape, dropout_rate
+            )
+            p_drop = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+        else:
+            p_drop = p
+
         dv_s[:] = dv_s[:] + jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_rate > 0.0:
+            dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
         ds = p * (dp - delta) * sm_scale
         dk_s[:] = dk_s[:] + jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -209,6 +308,7 @@ def _bwd_dkv_kernel(
 
 
 def _bwd_dq_kernel(
+    seed_ref,   # SMEM [1] uint32
     q_ref,      # [1, 1, block_q, D]
     k_ref,      # [1, 1, block_k, D]
     v_ref,      # [1, 1, block_k, D]
@@ -223,10 +323,12 @@ def _bwd_dq_kernel(
     causal: bool,
     block_q: int,
     block_k: int,
+    dropout_rate: float,
 ):
     qb = pl.program_id(2)
     kb = pl.program_id(3)
     num_kb = pl.num_programs(3)
+    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
 
     @pl.when(kb == 0)
     def _init():
@@ -254,6 +356,11 @@ def _bwd_dq_kernel(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_rate > 0.0:
+            keep = _block_keep(
+                seed_ref, bh, qb, kb, block_q, block_k, p.shape, dropout_rate
+            )
+            dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
         ds = p * (dp - delta) * sm_scale
         dq_s[:] = dq_s[:] + jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -270,18 +377,23 @@ def _bwd_dq_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _fwd_padded(q, k, v, bias, causal, sm_scale, block_q, block_k, interpret):
+_SEED_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _fwd_padded(q, k, v, bias, seed, causal, sm_scale, block_q, block_k,
+                dropout_rate, interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
     grid = (b, h, tq // block_q, tk // block_k)
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k,
+        block_k=block_k, dropout_rate=dropout_rate,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            _SEED_SPEC,
             pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
@@ -301,12 +413,13 @@ def _fwd_padded(q, k, v, bias, causal, sm_scale, block_q, block_k, interpret):
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, bias)
+    )(seed, q, k, v, bias)
     return out, lse
 
 
 def _bwd_padded(
-    q, k, v, bias, o, lse, do, causal, sm_scale, block_q, block_k, interpret
+    q, k, v, bias, seed, o, lse, do, causal, sm_scale, block_q, block_k,
+    dropout_rate, interpret
 ):
     b, h, tq, d = q.shape
     tk = k.shape[2]
@@ -316,12 +429,13 @@ def _bwd_padded(
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k,
+        block_k=block_k, dropout_rate=dropout_rate,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(b, h, tk // block_k, tq // block_q),
         in_specs=[
+            _SEED_SPEC,
             pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, m, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
@@ -343,16 +457,17 @@ def _bwd_padded(
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, bias, do, lse, delta)
+    )(seed, q, k, v, bias, do, lse, delta)
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k,
+        block_k=block_k, dropout_rate=dropout_rate,
     )
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, h, tq // block_q, tk // block_k),
         in_specs=[
+            _SEED_SPEC,
             pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
@@ -367,7 +482,7 @@ def _bwd_padded(
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=interpret,
-    )(q, k, v, bias, do, lse, delta)
+    )(seed, q, k, v, bias, do, lse, delta)
     return dq, dk, dv
 
 
@@ -376,28 +491,33 @@ def _bwd_padded(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, bias, causal, sm_scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash(q, k, v, bias, seed, causal, sm_scale, block_q, block_k,
+           dropout_rate, interpret):
     out, _ = _fwd_padded(
-        q, k, v, bias, causal, sm_scale, block_q, block_k, interpret
+        q, k, v, bias, seed, causal, sm_scale, block_q, block_k,
+        dropout_rate, interpret,
     )
     return out
 
 
-def _flash_fwd(q, k, v, bias, causal, sm_scale, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, bias, seed, causal, sm_scale, block_q, block_k,
+               dropout_rate, interpret):
     out, lse = _fwd_padded(
-        q, k, v, bias, causal, sm_scale, block_q, block_k, interpret
+        q, k, v, bias, seed, causal, sm_scale, block_q, block_k,
+        dropout_rate, interpret,
     )
-    return out, (q, k, v, bias, out, lse)
+    return out, (q, k, v, bias, seed, out, lse)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, g):
-    q, k, v, bias, out, lse = res
+def _flash_bwd(causal, sm_scale, block_q, block_k, dropout_rate, interpret,
+               res, g):
+    q, k, v, bias, seed, out, lse = res
     dq, dk, dv = _bwd_padded(
-        q, k, v, bias, out, lse, g, causal, sm_scale, block_q, block_k,
-        interpret,
+        q, k, v, bias, seed, out, lse, g, causal, sm_scale, block_q, block_k,
+        dropout_rate, interpret,
     )
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -417,6 +537,8 @@ def flash_attention(
     sm_scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Streaming masked attention.
@@ -427,6 +549,11 @@ def flash_attention(
       kv_lengths: optional [B] int — keys >= length are masked out.
       causal: query t attends to keys <= t (requires Tq == Tk semantics).
       sm_scale: defaults to 1/sqrt(D).
+      dropout_rate: train-time dropout on the softmax weights (the
+        reference applies it inside MultiheadAttention,
+        src/third_party/transformer.py:161-189). Requires `dropout_seed`,
+        a uint32 scalar/1-vector; the mask is the stateless positional
+        hash reproduced by `attention_dropout_mask`.
     Returns: [B, Tq, H, D] in q.dtype.
     """
     if interpret is None:
@@ -437,6 +564,12 @@ def flash_attention(
     tk = k.shape[1]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
+    dropout_rate = float(dropout_rate)
+    if dropout_rate > 0.0:
+        assert dropout_seed is not None, "dropout_rate > 0 needs dropout_seed"
+        seed = jnp.asarray(dropout_seed, jnp.uint32).reshape((1,))
+    else:
+        seed = jnp.zeros((1,), jnp.uint32)
 
     block_q = min(block_q, _round_up(tq, 8))
     block_k = min(block_k, _round_up(tk, 128))
@@ -465,7 +598,8 @@ def flash_attention(
     bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)[:, None, :]
 
     out = _flash(
-        qp, kp, vp, bias, causal, sm_scale, block_q, block_k, interpret
+        qp, kp, vp, bias, seed, causal, sm_scale, block_q, block_k,
+        dropout_rate, interpret,
     )
     out = jnp.swapaxes(out, 1, 2)[:, :tq, :, :d]
     return out

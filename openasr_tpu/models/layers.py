@@ -143,7 +143,19 @@ class MultiHeadAttention(nn.Module):
         max_len = flash_attention_max_len()
         within = max_len <= 0 or max(q.shape[1], k.shape[1]) <= max_len
         if structured and within and flash_attention_enabled():
-            out = flash_attention(q, k, v, kv_lengths=kv_lengths, causal=causal)
+            dropping = self.dropout_rate > 0.0 and not deterministic
+            seed = None
+            if dropping:
+                # fold the flax dropout rng into a uint32 seed for the
+                # kernel's stateless positional-hash mask
+                seed = jax.random.bits(
+                    self.make_rng("dropout"), (1,), jnp.uint32
+                )
+            out = flash_attention(
+                q, k, v, kv_lengths=kv_lengths, causal=causal,
+                dropout_rate=self.dropout_rate if dropping else 0.0,
+                dropout_seed=seed,
+            )
             return self.out_proj(out)
         if structured:
             parts = []

@@ -13,10 +13,14 @@ import numpy as np
 import pytest
 
 from openasr_tpu.kernels import set_flash_attention
-from openasr_tpu.kernels.flash_attention import flash_attention
+from openasr_tpu.kernels.flash_attention import (
+    attention_dropout_mask,
+    flash_attention,
+)
 
 
-def ref_attn(q, k, v, kv_lengths=None, causal=False):
+def ref_attn(q, k, v, kv_lengths=None, causal=False, dropout_rate=0.0,
+             dropout_seed=None):
     b, tq, h, d = q.shape
     tk = k.shape[1]
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / math.sqrt(d)
@@ -32,6 +36,9 @@ def ref_attn(q, k, v, kv_lengths=None, causal=False):
             kpos[None, None, None, :] <= qpos[None, None, :, None], s, -1e30
         )
     p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        keep = attention_dropout_mask(dropout_seed, b, h, tq, tk, dropout_rate)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v.astype(jnp.float32)).astype(
         q.dtype
     )
@@ -155,6 +162,112 @@ def test_decoder_loss_flash_vs_dense():
     np.testing.assert_allclose(
         float(flash["ce_loss"]), float(dense["ce_loss"]), rtol=2e-4
     )
+
+
+def test_flash_dropout_matches_masked_reference():
+    """Forward parity: flash with in-kernel dropout == dense attention with
+    the SAME stateless mask applied to the normalized weights
+    (reference behavior: src/third_party/transformer.py:161-189)."""
+    rng = np.random.RandomState(4)
+    b, t, h, d = 2, 40, 2, 16
+    q = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    lens = jnp.asarray([40, 23], jnp.int32)
+    seed = jnp.asarray([12345], jnp.uint32)
+    rate = 0.3
+    out = flash_attention(
+        q, k, v, kv_lengths=lens, causal=True, block_q=16, block_k=16,
+        dropout_rate=rate, dropout_seed=seed, interpret=True,
+    )
+    ref = ref_attn(q, k, v, lens, causal=True, dropout_rate=rate,
+                   dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # mask sanity: keep fraction ~= 1 - rate, seed changes the mask
+    keep = attention_dropout_mask(seed, b, h, t, t, rate)
+    assert abs(float(jnp.mean(keep)) - (1.0 - rate)) < 0.02
+    keep2 = attention_dropout_mask(seed + 1, b, h, t, t, rate)
+    assert float(jnp.mean(keep == keep2)) < 0.95
+    # per-(batch, head) masks differ
+    assert not np.array_equal(np.asarray(keep[0, 0]), np.asarray(keep[0, 1]))
+
+
+def test_flash_dropout_block_size_invariant():
+    """The positional-hash mask depends only on global positions, so the
+    output must be identical across block sizes (fwd visits tiles in a
+    different order than bwd — this is the property that makes the
+    backward recompute exact)."""
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(1, 32, 2, 8), jnp.float32)
+    seed = jnp.asarray([7], jnp.uint32)
+    outs = [
+        np.asarray(
+            flash_attention(
+                q, q, q, causal=False, block_q=bq, block_k=bk,
+                dropout_rate=0.25, dropout_seed=seed, interpret=True,
+            )
+        )
+        for bq, bk in ((8, 8), (16, 16), (32, 32), (8, 16))
+    ]
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], atol=1e-6)
+
+
+def test_flash_dropout_gradients_match_reference():
+    rng = np.random.RandomState(6)
+    b, t, h, d = 2, 24, 2, 16
+    q = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, t, h, d), jnp.float32)
+    lens = jnp.asarray([24, 17], jnp.int32)
+    seed = jnp.asarray([99], jnp.uint32)
+    rate = 0.2
+
+    def f1(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(
+            q, k, v, kv_lengths=lens, causal=True, block_q=8, block_k=8,
+            dropout_rate=rate, dropout_seed=seed, interpret=True,
+        )))
+
+    def f2(q, k, v):
+        return jnp.sum(jnp.sin(ref_attn(
+            q, k, v, lens, causal=True, dropout_rate=rate, dropout_seed=seed
+        )))
+
+    g1 = jax.grad(f1, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f2, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-4)
+
+
+def test_mha_flash_train_applies_dropout():
+    """With dropout_rate > 0 and deterministic=False the flash path must
+    regularize (output differs from the deterministic pass) and stay
+    deterministic given the same rng."""
+    from openasr_tpu.models.layers import MultiHeadAttention
+
+    mha = MultiHeadAttention(d_model=16, nhead=2, dropout_rate=0.3)
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 20, 16), jnp.float32)
+    lens = jnp.asarray([20, 12], jnp.int32)
+    params = mha.init(jax.random.PRNGKey(0), x, x, kv_lengths=lens)
+
+    set_flash_attention(True)
+    try:
+        det = mha.apply(params, x, x, kv_lengths=lens, deterministic=True)
+        tr1 = mha.apply(params, x, x, kv_lengths=lens, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(1)})
+        tr1b = mha.apply(params, x, x, kv_lengths=lens, deterministic=False,
+                         rngs={"dropout": jax.random.PRNGKey(1)})
+        tr2 = mha.apply(params, x, x, kv_lengths=lens, deterministic=False,
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+    finally:
+        set_flash_attention(None)
+
+    assert not np.allclose(np.asarray(det), np.asarray(tr1))
+    np.testing.assert_array_equal(np.asarray(tr1), np.asarray(tr1b))
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
 
 
 def test_zero_valid_keys_row_is_safe():
