@@ -51,7 +51,14 @@ class AttentionAssigner(nn.Module):
         return alphas * sequence_mask(lengths, t, dtype=jnp.float32)
 
     @staticmethod
-    def from_config(cfg, dtype=jnp.float32) -> "AttentionAssigner":
+    def from_config(cfg, dtype=jnp.float32):
+        if str(cfg.get("type", "1d")).lower() in ("2d", "conv2d"):
+            return AttentionAssigner2D(
+                d_model=int(cfg["d_model"]),
+                n_layers=int(cfg["n_layers"]),
+                dropout_rate=float(cfg.get("dropout", 0.0)),
+                dtype=dtype,
+            )
         return AttentionAssigner(
             d_model=int(cfg["d_model"]),
             n_layers=int(cfg["n_layers"]),
@@ -59,3 +66,50 @@ class AttentionAssigner(nn.Module):
             dropout_rate=float(cfg.get("dropout", 0.0)),
             dtype=dtype,
         )
+
+
+class AttentionAssigner2D(nn.Module):
+    """2D-conv assigner variant (reference: attention_assigner.py:49-81):
+    a Conv2d feature extractor over the (time, feature) plane — 32-channel
+    3x3 conv + (n_layers-1) 1x1 convs, each ReLU'd — then an affine
+    [32*D -> d_model], dropout, linear -> sigmoid, masked.
+
+    Deviation note: the reference's conv (conv_layers.py:49-77) uses time
+    stride (2, 1) yet returns unchanged feat_lengths and slices the first T
+    frames, which only type-checks because of a fixed +20 pad — i.e. it is
+    inconsistent with the CIF contract that alphas align 1:1 with encoder
+    frames. This rebuild keeps stride 1 in time so the contract holds; the
+    channel/affine structure matches the reference."""
+
+    d_model: int
+    n_layers: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, t, d = x.shape
+        h = x.astype(self.dtype)[..., None]  # [B, T, D, 1]
+        # right-pad + truncate, like the reference's F.pad(feats, (0,20,0,20))
+        h = jnp.pad(h, ((0, 0), (0, 2), (0, 2), (0, 0)))
+        h = nn.Conv(
+            32, (3, 3), padding="VALID", dtype=self.dtype, name="conv0"
+        )(h)
+        h = nn.relu(h)
+        for i in range(1, self.n_layers):
+            h = nn.Conv(
+                32, (1, 1), padding="VALID", dtype=self.dtype,
+                name=f"conv{i}",
+            )(h)
+            h = nn.relu(h)
+        h = h[:, :t, :d].reshape(b, t, 32 * d)
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="affine")(h)
+        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        alphas = nn.Dense(1, dtype=self.dtype, name="linear")(h)[..., 0]
+        alphas = nn.sigmoid(alphas.astype(jnp.float32))
+        return alphas * sequence_mask(lengths, t, dtype=jnp.float32)

@@ -10,10 +10,12 @@ import itertools
 import logging
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from openasr_tpu.parallel import shard_batch
 from openasr_tpu.solvers import SOLVER_REGISTRY, Solver, array_fields
+from openasr_tpu.utils import Timer
 
 logger = logging.getLogger(__name__)
 
@@ -50,9 +52,13 @@ class CIFFCSolver(CIFCTCSolver):
 
 class CIFMIXSolver(CIFCTCSolver):
     """CIF_MIX multitask: zips an 'acoustic' loader (feats+phones) with a
-    cycled paired loader (feats+phones+chars) and sums both mixed losses per
-    step (reference: src/solvers/cif.py:330-492 runs two backward passes
-    into the same grads — summing the losses is gradient-identical)."""
+    cycled paired loader (feats+phones+chars).  The reference accumulates
+    the two batches' backward passes into the SAME grads and then applies a
+    single optimizer step (reference: src/solvers/cif.py:433-492 — two
+    `loss.backward()` calls, one `optimizer.step()`).  Gradient of a sum
+    equals the sum of gradients, so the grad-accumulation pair
+    (Solver._build_accum_steps) reproduces that exactly: one accumulated
+    gradient, ONE Adam update, one LR-schedule tick per iteration."""
 
     def __init__(self, model, config, tr_loader, cv_loader,
                  acoustic_loader=None, **kw):
@@ -69,30 +75,74 @@ class CIFMIXSolver(CIFCTCSolver):
         if cross_valid or self.acoustic_loader is None:
             return super().iter_one_epoch(cross_valid)
 
-        tot_main, tot_norm = 0.0, 0.0
+        if self._grad_accum is None:
+            self._grad_accum = self._build_accum_steps()
+        grad_step, apply_step = self._grad_accum
+
+        timer = Timer()
+        timer.tic()
+        # device-side totals (host sync only at print intervals / epoch end,
+        # same policy as the base epoch loop)
+        tot = {}
+        tot_norm = None
+        tot_seqs = None
+
         params = self.model.params
         paired_cycle = itertools.cycle(iter(self.tr_loader))
+        tot_iters = len(self.acoustic_loader)
         for niter, ac_batch in enumerate(iter(self.acoustic_loader), start=1):
+            if getattr(self, "_stop_requested", False):
+                logger.warning(
+                    "preemption: stopping epoch %d at batch %d/%d",
+                    self.epoch, niter, tot_iters,
+                )
+                break
+            self._maybe_profile()
             paired = next(paired_cycle)
-            for batch in (ac_batch, paired):
+            acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+            base_rng = jax.random.fold_in(self.rng, self.step * 8191 + niter)
+            for j, batch in enumerate((ac_batch, paired)):
                 arrays = shard_batch(array_fields(batch), self.mesh)
-                rng = jax.random.fold_in(
-                    self.rng, self.step * 8191 + niter
+                acc, loss, losses = grad_step(
+                    params, arrays, jax.random.fold_in(base_rng, j), acc
                 )
-                params, self.opt_state, loss, losses = self._train_step(
-                    params, self.opt_state, arrays, rng
-                )
-                self.model.params = params
-                tot_main += float(losses[self.main_loss_key])
-                tot_norm += float(losses[self.main_loss_norm])
+                norm = losses[self.main_loss_norm]
+                tot_norm = norm if tot_norm is None else tot_norm + norm
+                seqs = losses["n_seqs"]
+                tot_seqs = seqs if tot_seqs is None else tot_seqs + seqs
+                for k in losses:
+                    if k.endswith("_loss"):
+                        tot[k] = tot[k] + losses[k] if k in tot else losses[k]
+            params, self.opt_state = apply_step(params, self.opt_state, acc)
+            self.model.params = params
             self.step += 1
+
             if niter % self.print_inteval == 0:
-                logger.info(
-                    "Epoch %d | Step %d | mix loss %.3f | lr %.3e",
-                    self.epoch, self.step, tot_main / max(tot_norm, 1.0),
-                    self.current_lr(),
+                host_norm = max(float(tot_norm), 1.0)
+                host_tot = {k: float(v) for k, v in tot.items()}
+                sent_per_sec = float(tot_seqs) / max(timer.toc(), 1e-9)
+                parts = " ".join(
+                    f"{k}: {v / host_norm:.3f}" for k, v in host_tot.items()
                 )
-        return tot_main / max(tot_norm, 1e-9)
+                logger.info(
+                    "Epoch %d | Step %d | Batch %d/%d | %s | lr %.3e | "
+                    "sent/sec %.2f",
+                    self.epoch, self.step, niter, tot_iters, parts,
+                    self.current_lr(), sent_per_sec,
+                )
+                self._log_metrics({
+                    "phase": "train",
+                    "epoch": self.epoch,
+                    "step": self.step,
+                    "batch": niter,
+                    "lr": self.current_lr(),
+                    "sent_per_sec": sent_per_sec,
+                    **{k: v / host_norm for k, v in host_tot.items()},
+                })
+
+        if tot_norm is None:
+            return 0.0
+        return float(tot[self.main_loss_key]) / max(float(tot_norm), 1e-9)
 
 
 SOLVER_REGISTRY.update({

@@ -89,6 +89,48 @@ def test_cif_gradients_flow():
     assert float(jnp.abs(ga).sum()) > 0
 
 
+def test_attention_assigner_2d():
+    """CIF model with the 2D-conv assigner variant
+    (reference: attention_assigner.py:49-81)."""
+    from openasr_tpu.models.assigner import (
+        AttentionAssigner,
+        AttentionAssigner2D,
+    )
+
+    cfg2d = {"type": "2d", "d_model": 16, "n_layers": 2, "dropout": 0.0}
+    asg = AttentionAssigner.from_config(cfg2d)
+    assert isinstance(asg, AttentionAssigner2D)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 12, 16), jnp.float32)
+    lens = jnp.asarray([12, 7], jnp.int32)
+    params = asg.init(jax.random.PRNGKey(0), x, lens)
+    alphas = np.asarray(asg.apply(params, x, lens))
+    assert alphas.shape == (2, 12)
+    assert np.all((alphas >= 0) & (alphas <= 1))
+    assert np.all(alphas[1, 7:] == 0.0)  # masked past the valid length
+
+    # full CIF model wiring through the config switch
+    cfg = Config({
+        "type": "CIF",
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 16, "nhead": 2,
+                    "dim_feedforward": 32, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "assigner": {"type": "2d", "d_model": 16, "n_layers": 2,
+                     "dropout": 0.0},
+        "decoder": {"type": "CIF_Decoder", "vocab_size": 20, "d_model": 16,
+                    "nhead": 2, "num_layers": 1, "encoder_dim": 16,
+                    "dim_feedforward": 32, "activation": "relu",
+                    "dropout_rate": 0.0},
+    })
+    m = get_model_class("CIF").create_model(cfg)
+    batch = _speech_batch()
+    out = m.loss(m.params, batch, {}, train=False)
+    assert np.isfinite(float(out["ce_loss"]))
+
+
 @pytest.fixture
 def cif_cfg():
     return {
@@ -213,8 +255,104 @@ def test_cif_mix_solver_dual_loader(cif_cfg, tmp_path):
     solver = get_solver_class("CIF_MIX")(
         model, training, [paired_batch() for _ in range(2)],
         [paired_batch()], acoustic_loader=[ac_batch() for _ in range(3)],
-        mesh=make_mesh(),
+        mesh=make_mesh(jax.devices("cpu")[:2]),
     )
     tr = solver.iter_one_epoch()
     assert np.isfinite(tr)
     assert solver.step == 3  # one step per acoustic batch
+
+
+def _opt_counts(opt_state):
+    """All optax step counters in the state tree (adam + schedule)."""
+    return [
+        int(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]
+        if "count" in jax.tree_util.keystr(path)
+    ]
+
+
+def test_cif_mix_one_update_per_iteration(cif_cfg, tmp_path):
+    """The CIF_MIX iteration must be ONE optimizer update over the summed
+    (acoustic + paired) gradients — the reference's two backward passes
+    into a single optimizer.step() (src/solvers/cif.py:433-492) — not two
+    Adam updates with LR-schedule drift."""
+    from openasr_tpu.parallel import make_mesh, shard_batch
+    from openasr_tpu.solvers import array_fields, get_solver_class
+
+    rng = np.random.RandomState(3)
+    cfg = Config(dict(cif_cfg, type="CIF_MIX"))
+    cfg.decoder["type"] = "TransformerDecoder"
+
+    ac = {
+        "feats": rng.randn(2, 24, 20).astype(np.float32),
+        "feat_lengths": np.array([24, 20], np.int32),
+        "phones": rng.randint(3, 19, (2, 5)).astype(np.int32),
+        "phone_lengths": np.array([5, 4], np.int32),
+    }
+    paired = dict(
+        ac,
+        ids=rng.randint(3, 19, (2, 4)).astype(np.int32),
+        labels=rng.randint(3, 19, (2, 4)).astype(np.int32),
+        paddings=np.zeros((2, 4), np.float32),
+    )
+    # SGD keeps the update LINEAR in the gradients, so fp reassociation
+    # noise stays ~1e-13 while a double-update / LR-schedule drift (the bug
+    # this test guards) still shifts params by a full lr*grad.
+    training = Config({
+        "num_epoch": 1, "exp_dir": str(tmp_path / "exp"),
+        "print_inteval": 1000, "accumulate_grad_batch": 1,
+        "init_lr": 1e-2, "optimtype": "sgd", "grad_max_norm": 0.0,
+        "label_smooth": 0.1, "lambda_ctc": 0.5, "lambda_qua": 1.0,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 50,
+                         "d_model": 16},
+    })
+
+    def fresh_solver():
+        model = get_model_class("CIF_MIX").create_model(cfg)
+        return get_solver_class("CIF_MIX")(
+            model, training, [paired], [paired], acoustic_loader=[ac],
+            mesh=make_mesh(jax.devices("cpu")[:2]),
+        ), model
+
+    solver, model = fresh_solver()
+    counts0 = _opt_counts(solver.opt_state)
+    assert counts0, "no optax step counter found in the opt state"
+    solver.iter_one_epoch()
+    counts1 = _opt_counts(solver.opt_state)
+    assert solver.step == 1
+    assert [c1 - c0 for c0, c1 in zip(counts0, counts1)] == [1] * len(counts0)
+
+    # fused reference: grad of the SUM of both mixed losses, one tx.update
+    import optax
+
+    solver2, model2 = fresh_solver()
+    params = model2.params
+    base_rng = jax.random.fold_in(solver2.rng, 0 * 8191 + 1)
+    batches = [
+        shard_batch(array_fields(b), solver2.mesh) for b in (ac, paired)
+    ]
+
+    def loss_fn(p):
+        total = 0.0
+        for j, arrays in enumerate(batches):
+            rj = jax.random.fold_in(base_rng, j)
+            rngs = {"dropout": rj, "aug": jax.random.fold_in(rj, 1)}
+            total = total + solver2.mix_losses(
+                solver2.model_loss(p, arrays, rngs, True)
+            )
+        return total
+
+    grads = jax.grad(loss_fn)(params)
+    updates, _ = solver2.tx.update(grads, solver2.opt_state, params)
+    ref_params = optax.apply_updates(params, updates)
+
+    got = jax.tree_util.tree_flatten_with_path(solver.model.params)[0]
+    ref = dict(
+        (jax.tree_util.keystr(p), np.asarray(leaf))
+        for p, leaf in jax.tree_util.tree_flatten_with_path(ref_params)[0]
+    )
+    for path, leaf in got:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(leaf), ref[key], rtol=1e-4, atol=1e-9, err_msg=key
+        )
