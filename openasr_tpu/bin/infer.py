@@ -55,6 +55,8 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    from openasr_tpu.utils import pin_default_device
+    pin_default_device()
     logging.basicConfig(level=logging.INFO)
     args = get_args(argv)
     t_start = time.time()
@@ -114,17 +116,46 @@ def main(argv=None):
             beam_width=args.ctc_beam, blank_id=tokenizer.unit_num() - 1
         )
 
+    # Decode functions are jit-wrapped ONCE; jax.jit then caches one
+    # executable per (quantized) input-shape bucket — the collate's
+    # geometric shape ladder keeps the bucket count small, so every batch
+    # after the first of its bucket runs the compiled program with no
+    # retrace (the reference's hot loop: src/Speech_Models.py:158).
+    import jax.numpy as jnp
+
+    if is_ctc:
+        @jax.jit
+        def logits_fn(params, inputs, lengths):
+            logits, len_logits = model.get_logits(params, inputs, lengths)
+            return (
+                jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1),
+                len_logits,
+            )
+
+        @jax.jit
+        def greedy_fn(params, inputs, lengths):
+            return model.greedy_decode(params, inputs, lengths)
+    else:
+        @jax.jit
+        def beam_fn(params, inputs, lengths):
+            return model.batch_beam_decode(
+                params, inputs, lengths,
+                beam_size=args.nbest, max_decode_len=args.maxlen,
+                lm=lm, lm_weight=args.lm_weight,
+            )
+
+    seen_buckets = set()
     tot_utt = 0
     tot_audio_frames = 0
     for batch in loader:
         inputs, lengths = model.batch_inputs(batch)
         utts = batch["uttids"]
+        bucket = tuple(np.shape(inputs))
+        t_batch = time.time()
         if is_ctc:
-            logits, len_logits = model.get_logits(model.params, inputs, lengths)
             if ctc_decoder is not None:
-                log_probs = np.asarray(
-                    jax.nn.log_softmax(logits.astype(jnp_float32()), axis=-1)
-                )
+                log_probs, len_logits = logits_fn(model.params, inputs, lengths)
+                log_probs = np.asarray(log_probs)
                 nbest = ctc_decoder.decode_batch(
                     log_probs, np.asarray(len_logits)
                 )
@@ -132,23 +163,28 @@ def main(argv=None):
                 lens = [[len(h.tokens) for h in n] for n in nbest]
                 scores = [[h.score for h in n] for n in nbest]
             else:
-                ids, idlens = model.greedy_decode(model.params, inputs, lengths)
+                ids, idlens = greedy_fn(model.params, inputs, lengths)
                 ids, idlens = np.asarray(ids), np.asarray(idlens)
                 preds = [[ids[i]] for i in range(len(utts))]
                 lens = [[int(idlens[i])] for i in range(len(utts))]
                 scores = [[0.0] for _ in range(len(utts))]
         else:
-            pred_ids, len_dec, sc = model.batch_beam_decode(
-                model.params, inputs, lengths,
-                beam_size=args.nbest, max_decode_len=args.maxlen,
-                lm=lm, lm_weight=args.lm_weight,
-            )
+            pred_ids, len_dec, sc = beam_fn(model.params, inputs, lengths)
             pred_ids = np.asarray(pred_ids)
             len_dec = np.asarray(len_dec)
             sc = np.asarray(sc)
             preds = [pred_ids[i] for i in range(len(utts))]
             lens = [len_dec[i] for i in range(len(utts))]
             scores = [sc[i] for i in range(len(utts))]
+        dt_batch = time.time() - t_batch
+        if bucket not in seen_buckets:
+            seen_buckets.add(bucket)
+            logging.info(
+                "decode bucket %s: first batch %.2fs (includes compile)",
+                bucket, dt_batch,
+            )
+        else:
+            logging.debug("decode bucket %s: %.3fs", bucket, dt_batch)
 
         for i, utt in enumerate(utts):
             msg = f"Results for {utt}:\n"
@@ -173,12 +209,6 @@ def main(argv=None):
     )
     if fd is not sys.stdout:
         fd.close()
-
-
-def jnp_float32():
-    import jax.numpy as jnp
-
-    return jnp.float32
 
 
 if __name__ == "__main__":

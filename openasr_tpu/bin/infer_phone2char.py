@@ -26,6 +26,8 @@ from openasr_tpu.utils.metrics import wer
 
 
 def main(argv=None):
+    from openasr_tpu.utils import pin_default_device
+    pin_default_device()
     setup_logging()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_type", required=True)

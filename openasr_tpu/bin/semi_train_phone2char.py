@@ -24,6 +24,8 @@ from openasr_tpu.utils.checkpoint import load_package
 
 
 def main(argv=None):
+    from openasr_tpu.utils import pin_default_device
+    pin_default_device()
     setup_logging()
     parser = argparse.ArgumentParser()
     parser.add_argument("config")

@@ -36,11 +36,50 @@ def setup_logging():
     )
 
 
-def build_loaders(dataconfig, trainingconfig, modelconfig, tokenizer, ndata):
+def _norm_type(modelconfig) -> str:
+    return str(modelconfig["type"]).lower().replace("-", "_")
+
+
+def build_loaders(dataconfig, trainingconfig, modelconfig, tokenizer, ndata,
+                  tokenizer_phone=None):
     feat_range = parse_range(dataconfig.get("feat_range")) or (1, 99999)
     label_range = parse_range(dataconfig.get("label_range")) or (1, 100)
     label_type = trainingconfig.get("label_type", "tokens")
     workers = int(dataconfig.get("fetchworker_num", 2))
+
+    mtype = _norm_type(modelconfig)
+    if mtype in ("cif_fc", "cif_mix"):
+        # phone-level CIF paths (the reference shipped CIF_FC / CIF_MIX
+        # solvers + configs but never dispatched them from train.py;
+        # here they are first-class)
+        from openasr_tpu.data.collate import (
+            FeatPhoneCharCollate,
+            FeatPhoneCollate,
+        )
+
+        tok_phone = tokenizer_phone or tokenizer
+        train_set = ArkDataset(
+            dataconfig["trainset"], feat_range=feat_range,
+            label_range=label_range,
+        )
+        valid_set = ArkDataset(dataconfig["devset"], reverse=True)
+        if mtype == "cif_mix":
+            collate = FeatPhoneCharCollate(
+                tok_phone, tokenizer, modelconfig.get("add_eos", False)
+            )
+        else:
+            collate = FeatPhoneCollate(tok_phone)
+        tr_sampler = FrameBasedSampler(
+            train_set, int(trainingconfig["batch_frames"]) * ndata, ndata,
+            shuffle=True,
+        )
+        cv_sampler = FrameBasedSampler(
+            valid_set, int(trainingconfig["batch_frames"]) * ndata, ndata,
+            shuffle=False,
+        )
+        tr = DataLoader(train_set, tr_sampler, collate, num_workers=workers)
+        cv = DataLoader(valid_set, cv_sampler, collate, num_workers=workers)
+        return tr, cv
 
     if modelconfig["signal"]["feature_type"] == "offline":
         train_set = ArkDataset(
@@ -80,6 +119,8 @@ def build_loaders(dataconfig, trainingconfig, modelconfig, tokenizer, ndata):
 
 
 def main(argv=None):
+    from openasr_tpu.utils import pin_default_device
+    pin_default_device()
     setup_logging()
     parser = argparse.ArgumentParser(description="Train an ASR model (TPU)")
     parser.add_argument("config", help="path to YAML config")
@@ -110,9 +151,38 @@ def main(argv=None):
     )
     modelconfig["decoder"]["vocab_size"] = tokenizer.unit_num()
 
+    tokenizer_phone = None
+    if dataconfig.get("vocab_phone"):
+        tokenizer_phone = CharTokenizer(dataconfig["vocab_phone"],
+                                        add_blk=True)
+        if "phone_size" in modelconfig or _norm_type(modelconfig) == "cif_mix":
+            modelconfig["phone_size"] = tokenizer_phone.unit_num()
+
     tr_loader, cv_loader = build_loaders(
-        dataconfig, trainingconfig, modelconfig, tokenizer, ndata
+        dataconfig, trainingconfig, modelconfig, tokenizer, ndata,
+        tokenizer_phone=tokenizer_phone,
     )
+
+    # CIF_MIX zips a second, acoustic-only (feats+phones) loader with the
+    # paired loader (reference: src/solvers/cif.py:433-492 semantics; its
+    # train.py never dispatched this type)
+    acoustic_loader = None
+    if _norm_type(modelconfig) == "cif_mix" and dataconfig.get("acousticset"):
+        from openasr_tpu.data.collate import FeatPhoneCollate
+
+        ac_set = ArkDataset(
+            dataconfig["acousticset"],
+            feat_range=parse_range(dataconfig.get("feat_range")) or (1, 99999),
+            label_range=(0, 10**9), rate_in_out=(0, 10**9),
+        )
+        ac_sampler = FrameBasedSampler(
+            ac_set, int(trainingconfig["batch_frames"]) * ndata, ndata,
+            shuffle=True,
+        )
+        acoustic_loader = DataLoader(
+            ac_set, ac_sampler, FeatPhoneCollate(tokenizer_phone or tokenizer),
+            num_workers=int(dataconfig.get("fetchworker_num", 2)),
+        )
 
     # bf16 compute (fp32 params/optimizer) is the TPU-native mixed-precision
     # mode: training.compute_dtype: bfloat16
@@ -139,7 +209,11 @@ def main(argv=None):
         trainingconfig["init_lr"] = float(trainingconfig["init_lr"]) * 0.1
 
     solver_cls = get_solver_class(modelconfig["type"])
-    solver = solver_cls(model, trainingconfig, tr_loader, cv_loader, mesh=mesh)
+    solver_kwargs = {}
+    if acoustic_loader is not None:
+        solver_kwargs["acoustic_loader"] = acoustic_loader
+    solver = solver_cls(model, trainingconfig, tr_loader, cv_loader,
+                        mesh=mesh, **solver_kwargs)
     if pkg is not None:
         solver.restore(pkg)
     logging.info("Start training...")

@@ -172,3 +172,175 @@ def write_ark_scp(path_prefix: str, mats: Iterator[Tuple[str, np.ndarray]]):
         for key, mat in mats:
             offset = write_mat(fa, mat, key)
             fs.write(f"{key} {ark_path}:{offset}\n")
+
+
+# --------------------------------------------------------------- int vectors
+# (alignments; reference: src/third_party/kaldi_io.py:124-203)
+
+def read_vec_int_fd(f: BinaryIO) -> np.ndarray:
+    binary = f.read(2)
+    if binary == b"\x00B":
+        n = _read_int32(f)
+        # each element is stored as (int8 size marker == 4, int32 value)
+        raw = np.frombuffer(
+            f.read(5 * n), dtype=[("size", "i1"), ("value", "<i4")], count=n
+        )
+        if n:
+            assert raw["size"][0] == 4
+        return raw["value"].copy()
+    text = (binary + f.readline()).decode("utf-8").replace(
+        "[", " "
+    ).replace("]", " ")
+    return np.array(text.split(), dtype=np.int64)
+
+
+def read_vec_int(path: str) -> np.ndarray:
+    f = open_or_fd(path)
+    try:
+        return read_vec_int_fd(f)
+    finally:
+        f.close()
+
+
+def read_vec_int_ark(ark_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    f = open_or_fd(ark_path)
+    try:
+        while True:
+            key = _read_token(f)
+            if not key:
+                break
+            yield key.decode("utf-8"), read_vec_int_fd(f)
+    finally:
+        f.close()
+
+
+# alignments are int vectors (reference: kaldi_io.py:124)
+read_ali_ark = read_vec_int_ark
+
+
+def write_vec_int(f: BinaryIO, v: np.ndarray, key: str) -> int:
+    f.write(key.encode("utf-8") + b" ")
+    offset = f.tell()
+    f.write(b"\x00B")
+    f.write(b"\x04" + struct.pack("<i", len(v)))
+    out = np.empty(len(v), dtype=[("size", "i1"), ("value", "<i4")])
+    out["size"] = 4
+    out["value"] = np.asarray(v, dtype=np.int32)
+    f.write(out.tobytes())
+    return offset
+
+
+# ------------------------------------------------------------- float vectors
+# (ivectors, confidences; reference: src/third_party/kaldi_io.py:206-318)
+
+def read_vec_flt_fd(f: BinaryIO) -> np.ndarray:
+    binary = f.read(2)
+    if binary == b"\x00B":
+        tok = _read_token(f)
+        if tok == b"FV":
+            n = _read_int32(f)
+            return np.frombuffer(f.read(4 * n), dtype="<f4").copy()
+        if tok == b"DV":
+            n = _read_int32(f)
+            return np.frombuffer(f.read(8 * n), dtype="<f8").copy()
+        raise ValueError(f"Unknown vector token {tok!r}")
+    text = (binary + f.readline()).decode("utf-8").replace(
+        "[", " "
+    ).replace("]", " ")
+    return np.array(text.split(), dtype=np.float64)
+
+
+def read_vec_flt(path: str) -> np.ndarray:
+    f = open_or_fd(path)
+    try:
+        return read_vec_flt_fd(f)
+    finally:
+        f.close()
+
+
+def read_vec_flt_ark(ark_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    f = open_or_fd(ark_path)
+    try:
+        while True:
+            key = _read_token(f)
+            if not key:
+                break
+            yield key.decode("utf-8"), read_vec_flt_fd(f)
+    finally:
+        f.close()
+
+
+def read_vec_flt_scp(scp_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    with open(scp_path, "r") as f:
+        for line in f:
+            fields = line.strip().split(" ", 1)
+            if len(fields) != 2:
+                continue
+            yield fields[0], read_vec_flt(fields[1])
+
+
+def write_vec_flt(f: BinaryIO, v: np.ndarray, key: str) -> int:
+    f.write(key.encode("utf-8") + b" ")
+    offset = f.tell()
+    v = np.asarray(v)
+    f.write(b"\x00B")
+    if v.dtype == np.float64:
+        f.write(b"DV ")
+    else:
+        v = v.astype("<f4")
+        f.write(b"FV ")
+    f.write(b"\x04" + struct.pack("<i", len(v)))
+    f.write(v.tobytes())
+    return offset
+
+
+# ---------------------------------------------------------------- posteriors
+# C++ vector<vector<pair<int32, float>>> — the outer vector is time, inner
+# entries are (index, value) records (reference: kaldi_io.py:494-554)
+
+def read_post_fd(f: BinaryIO):
+    binary = f.read(2)
+    assert binary == b"\x00B", "posteriors are binary-only"
+    n_frames = _read_int32(f)
+    post = []
+    rec = np.dtype(
+        [("si", "i1"), ("idx", "<i4"), ("sp", "i1"), ("val", "<f4")]
+    )
+    for _ in range(n_frames):
+        n = _read_int32(f)
+        raw = np.frombuffer(f.read(10 * n), dtype=rec, count=n)
+        if n:
+            assert raw["si"][0] == 4 and raw["sp"][0] == 4
+        post.append(
+            [(int(i), float(v)) for i, v in zip(raw["idx"], raw["val"])]
+        )
+    return post
+
+
+def read_post_ark(ark_path: str):
+    f = open_or_fd(ark_path)
+    try:
+        while True:
+            key = _read_token(f)
+            if not key:
+                break
+            yield key.decode("utf-8"), read_post_fd(f)
+    finally:
+        f.close()
+
+
+# confusion networks use the Posterior format (reference: kaldi_io.py:494)
+read_cnet_ark = read_post_ark
+
+
+def write_post(f: BinaryIO, post, key: str) -> int:
+    f.write(key.encode("utf-8") + b" ")
+    offset = f.tell()
+    f.write(b"\x00B")
+    f.write(b"\x04" + struct.pack("<i", len(post)))
+    for frame in post:
+        f.write(b"\x04" + struct.pack("<i", len(frame)))
+        for idx, val in frame:
+            f.write(b"\x04" + struct.pack("<i", int(idx)))
+            f.write(b"\x04" + struct.pack("<f", float(val)))
+    return offset

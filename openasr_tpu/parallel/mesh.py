@@ -27,11 +27,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def _default_devices():
+    """Devices of the platform computations actually target.  Plain
+    `jax.devices()` is wrong under the experimental 'axon' TPU plugin,
+    which stays the default backend even when JAX_PLATFORMS=cpu /
+    jax_default_device pins CPU — building the mesh from it would silently
+    route every jitted step through the device tunnel."""
+    from openasr_tpu.kernels import default_platform
+
+    try:
+        return jax.devices(default_platform())
+    except RuntimeError:
+        return jax.devices()
+
+
 def make_mesh(
     devices=None, data: Optional[int] = None, model: int = 1
 ) -> Mesh:
-    """Build a (data, model) mesh over the given devices (default: all)."""
-    devices = list(devices if devices is not None else jax.devices())
+    """Build a (data, model) mesh over the given devices (default: all
+    devices of the effective default platform)."""
+    devices = list(devices if devices is not None else _default_devices())
     n = len(devices)
     if data is None:
         assert n % model == 0, f"{n} devices not divisible by model={model}"

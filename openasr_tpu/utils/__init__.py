@@ -1,2 +1,28 @@
+import logging
+import os
+
+import jax
+
 from openasr_tpu.utils.timer import Timer  # noqa: F401
 from openasr_tpu.utils.metrics import edit_distance, batch_distance  # noqa: F401
+
+logger = logging.getLogger(__name__)
+
+
+def pin_default_device() -> None:
+    """Honor OPENASR_DEVICE=cpu|tpu: pin eager dispatch (and therefore
+    `make_mesh`'s platform resolution) to that backend.
+
+    Needed because some accelerator plugins stay registered as the default
+    backend even under JAX_PLATFORMS=cpu, which would silently route CPU
+    smoke runs (egs/*/train_cpu.sh) through a device tunnel."""
+    plat = os.environ.get("OPENASR_DEVICE", "").strip().lower()
+    if not plat:
+        return
+    try:
+        jax.config.update("jax_default_device", jax.devices(plat)[0])
+        logger.info("OPENASR_DEVICE=%s: pinned default device", plat)
+    except RuntimeError as e:  # unknown platform: fail loudly, not silently
+        raise RuntimeError(
+            f"OPENASR_DEVICE={plat!r} but no such backend is available"
+        ) from e

@@ -93,6 +93,64 @@ def test_ark_scp_roundtrip(tmp_path):
     np.testing.assert_array_equal(kaldi_io.read_mat(line), mats["utt0"])
 
 
+def test_vec_int_ark_roundtrip(tmp_path):
+    """Binary int-vector (alignment) ark: the 5-byte (int8 size, int32
+    value) element layout of the Kaldi spec (ref kaldi_io.py:146-168)."""
+    rng = np.random.RandomState(1)
+    vecs = {f"utt{i}": rng.randint(0, 500, size=7 + i) for i in range(3)}
+    path = tmp_path / "ali.ark"
+    with open(path, "wb") as f:
+        for k, v in vecs.items():
+            kaldi_io.write_vec_int(f, v, k)
+    got = dict(kaldi_io.read_vec_int_ark(str(path)))
+    assert set(got) == set(vecs)
+    for k in vecs:
+        np.testing.assert_array_equal(got[k], vecs[k])
+    # byte-level spec check of the first record
+    raw = open(path, "rb").read()
+    key = b"utt0 "
+    assert raw.startswith(key + b"\x00B\x04")
+    n0 = np.frombuffer(raw[len(key) + 3 : len(key) + 7], "<i4")[0]
+    assert n0 == 7
+    assert raw[len(key) + 7] == 4  # per-element int32 size marker
+    # alias
+    assert kaldi_io.read_ali_ark is kaldi_io.read_vec_int_ark
+
+
+def test_vec_flt_ark_scp_roundtrip(tmp_path):
+    rng = np.random.RandomState(2)
+    vecs = {
+        "a": rng.randn(11).astype(np.float32),
+        "b": rng.randn(4).astype(np.float64),
+    }
+    ark = str(tmp_path / "vec.ark")
+    scp = str(tmp_path / "vec.scp")
+    with open(ark, "wb") as fa, open(scp, "w") as fs:
+        for k, v in vecs.items():
+            off = kaldi_io.write_vec_flt(fa, v, k)
+            fs.write(f"{k} {ark}:{off}\n")
+    got = dict(kaldi_io.read_vec_flt_ark(ark))
+    np.testing.assert_array_equal(got["a"], vecs["a"])
+    np.testing.assert_array_equal(got["b"], vecs["b"])  # DV double path
+    assert got["b"].dtype == np.float64
+    got2 = dict(kaldi_io.read_vec_flt_scp(scp))
+    np.testing.assert_array_equal(got2["a"], vecs["a"])
+
+
+def test_post_ark_roundtrip(tmp_path):
+    """Posterior = vector<vector<(int32, float)>> (ref kaldi_io.py:494-554)."""
+    post_a = [[(1, 0.5), (7, 0.25)], [(3, 1.0)], []]
+    post_b = [[(0, 0.125)]]
+    path = tmp_path / "post.ark"
+    with open(path, "wb") as f:
+        kaldi_io.write_post(f, post_a, "a")
+        kaldi_io.write_post(f, post_b, "b")
+    got = dict(kaldi_io.read_post_ark(str(path)))
+    assert got["a"] == post_a
+    assert got["b"] == post_b
+    assert kaldi_io.read_cnet_ark is kaldi_io.read_post_ark
+
+
 def test_compressed_matrix_read(tmp_path):
     # synthesize a CM2 (uint16) compressed matrix
     import struct

@@ -58,7 +58,7 @@ def test_freeze_finetune_updates_gates_frontend():
                          "x1": 1000, "y1": 1.0},
     })
     solver = get_solver_class("wav2vec_ctc")(
-        model, training, [], [], mesh=make_mesh()
+        model, training, [], [], mesh=make_mesh(jax.devices("cpu")[:2])
     )
     batch = shard_batch(array_fields(make_batch()), solver.mesh)
     rng = jax.random.PRNGKey(0)
