@@ -243,6 +243,11 @@ int64_t flac_decode(const uint8_t* data, int64_t size, int32_t* out,
     int64_t* c0 = subs[0].data();
     int64_t* c1 = channels > 1 ? subs[1].data() : nullptr;
 
+    // stereo-decorrelated frames in a stream whose STREAMINFO declares
+    // mono are malformed; without this check the ch_code 8/9/10 branches
+    // would write through a null c1
+    if (ch_code >= 8 && channels < 2) return -1;
+
     if (ch_code < 8) {
       if (ch_code + 1 != channels) return -1;
       for (int c = 0; c < channels; c++)

@@ -245,6 +245,249 @@ def fbank(
     return feats, feat_lengths
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def spectrogram(
+    waves: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FbankConfig = FbankConfig(),
+    dither_key: Optional[jax.Array] = None,
+) -> tuple:
+    """Batched Kaldi log power spectrogram (compute-spectrogram-feats).
+
+    Capability parity with the reference's per-utterance `spectrogram`
+    (reference: src/third_party/kaldi_signal.py:223-282): framing, DC
+    removal, preemphasis, window, rFFT power in log domain, and the zeroth
+    bin replaced with the frame log-energy.
+
+    Returns ([B, T, nfft//2 + 1] float32, [B] int32 frame counts).
+    """
+    waves = waves.astype(jnp.float32)
+    frames = frame_signal(waves, cfg)  # [B, T, ws]
+    if dither_key is not None and cfg.dither != 0.0:
+        frames = frames + cfg.dither * jax.random.normal(
+            dither_key, frames.shape, dtype=jnp.float32
+        )
+    if cfg.remove_dc_offset:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+
+    def frame_log_energy(f):
+        e = jnp.log(jnp.maximum(jnp.sum(f * f, axis=-1), EPSILON))
+        if cfg.energy_floor > 0.0:
+            e = jnp.maximum(e, math.log(cfg.energy_floor))
+        return e
+
+    if cfg.raw_energy:
+        log_energy = frame_log_energy(frames)
+    if cfg.preemphasis != 0.0:
+        first = frames[..., :1] - cfg.preemphasis * frames[..., :1]
+        rest = frames[..., 1:] - cfg.preemphasis * frames[..., :-1]
+        frames = jnp.concatenate([first, rest], axis=-1)
+    frames = frames * jnp.asarray(feature_window(cfg))
+    if not cfg.raw_energy:
+        log_energy = frame_log_energy(frames)
+
+    nfft = cfg.padded_window_size
+    if nfft != cfg.window_size:
+        frames = jnp.pad(frames, ((0, 0), (0, 0), (0, nfft - cfg.window_size)))
+    spec = jnp.fft.rfft(frames, axis=-1)
+    power = jnp.log(
+        jnp.maximum(jnp.real(spec) ** 2 + jnp.imag(spec) ** 2, EPSILON)
+    )
+    power = jnp.concatenate([log_energy[..., None], power[..., 1:]], axis=-1)
+
+    feat_lengths = num_frames_of(lengths, cfg)
+    valid = sequence_mask(feat_lengths, power.shape[1])
+    return jnp.where(valid[..., None], power, 0.0), feat_lengths
+
+
+def dct_matrix(num_ceps: int, num_mel_bins: int) -> np.ndarray:
+    """Kaldi DCT-II matrix [num_mel_bins, num_ceps] for a right-multiply
+    (reference: src/third_party/kaldi_signal.py:537-549): orthonormal rows,
+    with the C0 column fixed to sqrt(1/num_mel_bins)."""
+    n = num_mel_bins
+    i = np.arange(n, dtype=np.float64)[:, None]  # mel bin
+    j = np.arange(num_ceps, dtype=np.float64)[None, :]  # cepstrum
+    m = np.sqrt(2.0 / n) * np.cos(np.pi / n * (i + 0.5) * j)
+    m[:, 0] = math.sqrt(1.0 / n)
+    return m.astype(np.float32)
+
+
+def lifter_coeffs(num_ceps: int, cepstral_lifter: float) -> np.ndarray:
+    """1 + 0.5*Q*sin(pi*i/Q) (reference: kaldi_signal.py:552-557)."""
+    i = np.arange(num_ceps, dtype=np.float64)
+    return (
+        1.0 + 0.5 * cepstral_lifter * np.sin(math.pi * i / cepstral_lifter)
+    ).astype(np.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "num_ceps", "cepstral_lifter", "htk_compat"),
+)
+def mfcc(
+    waves: jnp.ndarray,
+    lengths: jnp.ndarray,
+    cfg: FbankConfig = FbankConfig(num_mel_bins=23),
+    num_ceps: int = 13,
+    cepstral_lifter: float = 22.0,
+    htk_compat: bool = False,
+    dither_key: Optional[jax.Array] = None,
+) -> tuple:
+    """Batched Kaldi MFCC (compute-mfcc-feats).
+
+    Capability parity with the reference's per-utterance `mfcc`
+    (reference: src/third_party/kaldi_signal.py:576-668): log-mel fbank ->
+    DCT-II -> cepstral liftering, with the energy/HTK layout options.
+
+    Returns ([B, T, num_ceps] float32, [B] int32 frame counts).
+    """
+    assert num_ceps <= cfg.num_mel_bins
+    feature, feat_lengths = fbank(waves, lengths, cfg, dither_key)
+
+    if cfg.use_energy:
+        # fbank packs energy first (htk_compat handling happens here)
+        log_energy = feature[..., 0]
+        feature = feature[..., 1:]
+
+    feats = jnp.einsum(
+        "btm,mc->btc", feature, jnp.asarray(dct_matrix(num_ceps, cfg.num_mel_bins)),
+        preferred_element_type=jnp.float32,
+    )
+    if cepstral_lifter != 0.0:
+        feats = feats * jnp.asarray(lifter_coeffs(num_ceps, cepstral_lifter))
+    if cfg.use_energy:
+        feats = jnp.concatenate([log_energy[..., None], feats[..., 1:]], -1)
+    if htk_compat:
+        energy = feats[..., :1]
+        if not cfg.use_energy:
+            energy = energy * math.sqrt(2.0)
+        feats = jnp.concatenate([feats[..., 1:], energy], -1)
+
+    valid = sequence_mask(feat_lengths, feats.shape[1])
+    return jnp.where(valid[..., None], feats, 0.0), feat_lengths
+
+
+# ------------------------------------------------------------------ resample
+
+def _resample_plan(
+    n: int, orig_freq: int, new_freq: int, lowpass_filter_width: int
+):
+    """Static windowed-sinc interpolation plan (Kaldi LinearResample,
+    reference: src/third_party/kaldi_signal.py:679-808): per output sample
+    j with phase p = j mod U the contributing input window starts at
+    first_index[p] + (j // U) * I and uses weights[p].
+
+    Returns (index matrix [T_out, W] into the left-padded signal, weight
+    matrix [T_out, W], left padding, total padded length, T_out).
+    """
+    gcd = math.gcd(orig_freq, new_freq)
+    in_unit = orig_freq // gcd
+    out_unit = new_freq // gcd
+    lowpass_cutoff = 0.99 * 0.5 * min(orig_freq, new_freq)
+    window_width = lowpass_filter_width / (2.0 * lowpass_cutoff)
+
+    output_t = np.arange(out_unit, dtype=np.float64) / new_freq
+    min_input_index = np.ceil((output_t - window_width) * orig_freq)
+    max_input_index = np.floor((output_t + window_width) * orig_freq)
+    w = int((max_input_index - min_input_index).max()) + 1
+
+    j = np.arange(w, dtype=np.float64)[None, :]
+    input_index = min_input_index[:, None] + j
+    delta_t = input_index / orig_freq - output_t[:, None]
+    inside = np.abs(delta_t) < window_width
+    weights = np.where(
+        inside,
+        0.5 * (1.0 + np.cos(
+            2.0 * math.pi * lowpass_cutoff / lowpass_filter_width * delta_t
+        )),
+        0.0,
+    )
+    sinc = np.where(
+        delta_t == 0.0,
+        2.0 * lowpass_cutoff,
+        np.sin(2.0 * math.pi * lowpass_cutoff * delta_t)
+        / np.where(delta_t == 0.0, 1.0, math.pi * delta_t),
+    )
+    weights = weights * sinc / orig_freq  # [U, W]
+
+    # number of output samples for the open interval [0, n/orig_freq)
+    tick = (orig_freq * new_freq) // gcd
+    interval = n * (tick // orig_freq)
+    last = interval // (tick // new_freq)
+    if last * (tick // new_freq) == interval:
+        last -= 1
+    t_out = max(int(last) + 1, 0)
+
+    phases = np.arange(t_out) % out_unit
+    blocks = np.arange(t_out) // out_unit
+    starts = min_input_index[phases].astype(np.int64) + blocks * in_unit
+    idx = starts[:, None] + np.arange(w)[None, :]  # [T_out, W], may be <0/>n
+    left = int(max(0, -idx.min())) if t_out else 0
+    idx = idx + left
+    total = int(idx.max()) + 1 if t_out else n
+    return (
+        idx.astype(np.int32),
+        weights[phases].astype(np.float32),
+        left,
+        max(total, n + left),
+        t_out,
+    )
+
+
+def resample_waveform(
+    waves: jnp.ndarray,
+    orig_freq: int,
+    new_freq: int,
+    lowpass_filter_width: int = 6,
+    lengths: Optional[jnp.ndarray] = None,
+):
+    """Batched Kaldi LinearResample (windowed-sinc interpolation).
+
+    Capability parity with the reference's per-utterance conv1d loop
+    (reference: src/third_party/kaldi_signal.py:808-894), recast as one
+    gather + weighted reduction: out[b, j] = dot(weights[j mod U],
+    x[b, first(j mod U) + (j div U) * I : ... + W]).
+
+    Args:
+      waves: [B, N] float32 (zero-padded).
+      lengths: optional [B] valid sample counts; output beyond each
+        utterance's own resampled length is zeroed and the per-utterance
+        output lengths are returned.
+
+    Returns [B, T_out] (and [B] output lengths when `lengths` is given).
+    """
+    orig_freq, new_freq = int(orig_freq), int(new_freq)
+    b, n = waves.shape
+    idx, w, left, total, t_out = _resample_plan(
+        n, orig_freq, new_freq, lowpass_filter_width
+    )
+    if t_out == 0:
+        out = jnp.zeros((b, 0), jnp.float32)
+        return (out, jnp.zeros((b,), jnp.int32)) if lengths is not None else out
+    x = jnp.pad(waves.astype(jnp.float32), ((0, 0), (left, total - left - n)))
+    gathered = x[:, jnp.asarray(idx)]  # [B, T_out, W]
+    out = jnp.einsum(
+        "btw,tw->bt", gathered, jnp.asarray(w),
+        preferred_element_type=jnp.float32,
+    )
+    if lengths is None:
+        return out
+
+    # per-utterance output length: same tick arithmetic as _resample_plan,
+    # decomposed as q*u + (r*u)//v to stay inside int32 (x64 is disabled)
+    gcd = math.gcd(orig_freq, new_freq)
+    u = new_freq // gcd   # ticks per input period
+    v = orig_freq // gcd  # ticks per output period
+    ln = jnp.asarray(lengths, jnp.int32)
+    q, r = ln // v, ln % v
+    last = q * u + (r * u) // v  # == (lengths * u) // v
+    exact = (r * u) % v == 0
+    last = last - exact.astype(last.dtype)
+    out_lengths = jnp.maximum(last + 1, 0).astype(jnp.int32)
+    valid = sequence_mask(out_lengths, t_out)
+    return jnp.where(valid, out, 0.0), out_lengths
+
+
 def fbank_config_from_model_cfg(signal_cfg) -> FbankConfig:
     """Build FbankConfig from the reference YAML `model.signal` section
     (reference: src/blocks/sp_layers.py:38-48)."""

@@ -33,6 +33,18 @@ class Phone2CharCTCSolver(Solver):
     def mix_losses(self, losses):
         return losses["ctc_loss"] / losses["n_tokens"]
 
+    def iter_one_epoch(self, cross_valid: bool = False) -> float:
+        loss = super().iter_one_epoch(cross_valid)
+        if cross_valid and self.cv_loader:
+            # the reference computes dev WER every dev epoch
+            # (reference: src/solvers/phone2char.py:232-238)
+            wer = self.dev_wer()
+            self._log_metrics({
+                "phase": "cv", "epoch": self.epoch, "step": self.step,
+                "dev_wer": wer,
+            })
+        return loss
+
     def dev_wer(self) -> float:
         dist, n_ref = 0, 0
         for batch in self.cv_loader:

@@ -48,10 +48,16 @@ class AsyncCheckpointer:
     are serialized; `wait()` drains before exit/averaging."""
 
     def __init__(self):
+        import atexit
         import threading
 
         self._lock = threading.Lock()
         self._thread = None
+        # the writer is a daemon thread (so a hung disk never blocks
+        # interpreter shutdown on crash paths), which means any exit that
+        # skips train()'s wait() calls could kill it mid-pickle and drop
+        # the newest checkpoint — drain pending writes at exit instead
+        atexit.register(self.wait)
 
     def save(self, pkg: dict, path: str) -> None:
         import threading

@@ -123,6 +123,38 @@ def test_embed_decoder_ctc_loss_and_greedy():
     assert ids.shape[0] == 3
 
 
+def test_p2c_ctc_cv_epoch_logs_dev_wer(tmp_path):
+    """A cross-valid epoch of the CTC phone2char solver must compute and log
+    dev WER (reference: src/solvers/phone2char.py:232-238)."""
+    import json
+
+    from openasr_tpu.parallel import make_mesh
+    from openasr_tpu.solvers import get_solver_class
+
+    cfg = p2c_configs()
+    cfg.type = "Embed_Decoder_CTC"
+    m = get_model_class("Embed_Decoder_CTC").create_model(cfg)
+    training = Config({
+        "num_epoch": 1, "exp_dir": str(tmp_path / "exp"),
+        "print_inteval": 1, "accumulate_grad_batch": 1,
+        "init_lr": 1e-3, "optimtype": "adam", "grad_max_norm": 5.0,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 20,
+                         "d_model": 32},
+    })
+    solver = get_solver_class("Embed_Decoder_CTC")(
+        m, training, [p2c_batch()], [p2c_batch()],
+        mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    loss = solver.iter_one_epoch(cross_valid=True)
+    assert np.isfinite(loss)
+    metrics = [
+        json.loads(line)
+        for line in open(tmp_path / "exp" / "metrics.jsonl")
+    ]
+    wers = [r["dev_wer"] for r in metrics if "dev_wer" in r]
+    assert len(wers) == 1 and np.isfinite(wers[0]) and wers[0] >= 0.0
+
+
 # --------------------------------------------------------------------- GAN
 
 def test_gan_losses_and_grads():
