@@ -39,6 +39,18 @@ def register_model(name: str):
     return wrap
 
 
+# Reference YAMLs are inconsistent about type spelling (e.g. `Conv_CTC` in
+# egs/callhome_hkust/configs/ctc_ja.yaml vs `conv-ctc` in src/train.py:112);
+# resolution is case-insensitive over `-`/`_` with these extra spellings.
+_MODEL_ALIASES = {
+    "cpc_model": "encoder_cpc",  # reference class name (frameworks/CPC.py)
+}
+
+
+def _normalize(name: str) -> str:
+    return name.lower().replace("-", "_")
+
+
 def get_model_class(name: str) -> type:
     if name not in MODEL_REGISTRY:
         # import model families lazily so the registry is populated
@@ -48,6 +60,10 @@ def get_model_class(name: str) -> type:
             with contextlib.suppress(ImportError):
                 __import__(f"openasr_tpu.models.{mod}")
     if name not in MODEL_REGISTRY:
+        norm = _MODEL_ALIASES.get(_normalize(name), _normalize(name))
+        by_norm = {_normalize(k): k for k in MODEL_REGISTRY}
+        if norm in by_norm:
+            return MODEL_REGISTRY[by_norm[norm]]
         raise ValueError(
             f"Unknown model type {name!r}; known: {sorted(MODEL_REGISTRY)}"
         )

@@ -607,5 +607,13 @@ def get_solver_class(model_type: str):
             with contextlib.suppress(ImportError):
                 __import__(f"openasr_tpu.solvers.{mod}")
     if model_type not in SOLVER_REGISTRY:
+        # same case/-/_-insensitive resolution as get_model_class (the
+        # reference YAMLs spell types inconsistently, e.g. Conv_CTC)
+        from openasr_tpu.models import _MODEL_ALIASES, _normalize
+
+        norm = _MODEL_ALIASES.get(_normalize(model_type), _normalize(model_type))
+        by_norm = {_normalize(k): k for k in SOLVER_REGISTRY}
+        if norm in by_norm:
+            return SOLVER_REGISTRY[by_norm[norm]]
         raise ValueError(f"No solver for model type {model_type!r}")
     return SOLVER_REGISTRY[model_type]

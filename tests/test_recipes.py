@@ -1,0 +1,65 @@
+"""Recipe-level CPU smoke tests: run egs/*/train_cpu.sh + infer_cpu.sh the
+way a user would (the reference's *_test.yaml configs + train_cpu.sh were
+its de-facto integration tests, e.g. egs/hkust/train_cpu.sh).
+
+One representative corpus runs in the default suite; set
+OPENASR_RUN_ALL_RECIPES=1 to run every corpus's CPU path.
+"""
+
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+ALL_RECIPES = [
+    # (corpus, train script, infer script or None)
+    ("hkust", "train_cpu.sh", "infer_cpu.sh"),
+    ("aishell1", "train_cpu.sh", "infer_cpu.sh"),
+    ("callhome_hkust", "train_cpu.sh", "infer_cpu.sh"),
+    ("IPA2char", "train_cpu.sh", None),
+]
+
+RUN_ALL = os.environ.get("OPENASR_RUN_ALL_RECIPES") == "1"
+RECIPES = ALL_RECIPES if RUN_ALL else ALL_RECIPES[:1]
+
+
+def run_recipe(corpus, script, tmp_path, args=()):
+    workdir = tmp_path / corpus
+    if not workdir.exists():
+        shutil.copytree(os.path.join(REPO, "egs", corpus), workdir)
+    env = dict(
+        os.environ,
+        MAIN_ROOT=REPO,
+        JAX_PLATFORMS="cpu",
+        OPENASR_DEVICE="cpu",
+    )
+    result = subprocess.run(
+        ["bash", script, *args], cwd=workdir, env=env,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert result.returncode == 0, (
+        f"{corpus}/{script} failed:\n{result.stdout[-2000:]}\n"
+        f"{result.stderr[-3000:]}"
+    )
+    return workdir, result
+
+
+@pytest.mark.parametrize("corpus,train,infer", RECIPES)
+def test_recipe_cpu_smoke(corpus, train, infer, tmp_path):
+    workdir, _ = run_recipe(corpus, train, tmp_path)
+    exps = list((workdir / "exp").iterdir())
+    assert exps, "training produced no exp dir"
+    assert any((e / "last.pkg").exists() for e in exps), (
+        "no checkpoint written"
+    )
+    if infer:
+        workdir, result = run_recipe(corpus, infer, tmp_path)
+        exp = next(e for e in (workdir / "exp").iterdir()
+                   if (e / "hyp.txt").exists())
+        hyp_lines = open(exp / "hyp.txt").read().strip().splitlines()
+        assert hyp_lines, "decode produced no hypotheses"
+        assert (exp / "score.txt").exists(), "eval_result.sh wrote no report"
+        assert "SYSTEM SUMMARY" in open(exp / "score.txt").read()
