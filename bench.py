@@ -20,6 +20,12 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: the flash-attention train steps take
+# minutes to compile over a remote-compile TPU tunnel; caching makes repeat
+# bench runs start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/openasr_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 FAST = os.environ.get("BENCH_FAST", "0") == "1"
 
 # Benchmark shape: AISHELL-1-like batch (frame-budget ~ B*T).  B=64 is the
@@ -49,7 +55,30 @@ def make_batch():
     }
 
 
-def bench_jax() -> float:
+def _timed_trials(step_fn, block_fn, n_steps: int, n_trials: int):
+    """Run n_trials timed windows of n_steps each; returns utts/sec samples.
+    Multiple windows because single-window numbers showed 11.8k-17.9k
+    cross-process spread in round 1 — the reported value is the median and
+    the IQR is carried in the bench detail so the record self-qualifies."""
+    samples = []
+    for trial in range(n_trials):
+        t0 = time.time()
+        out = None
+        for i in range(n_steps):
+            out = step_fn(trial * n_steps + i)
+        block_fn(out)
+        samples.append(B * n_steps / (time.time() - t0))
+    return samples
+
+
+def _median_iqr(samples):
+    s = sorted(samples)
+    med = float(np.median(s))
+    q1, q3 = float(np.percentile(s, 25)), float(np.percentile(s, 75))
+    return med, q3 - q1
+
+
+def _train_tput(cfg_dict, batch_dict, n_steps, n_trials):
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +87,37 @@ def bench_jax() -> float:
     from openasr_tpu.parallel import make_mesh, shard_batch
     from openasr_tpu.solvers import array_fields, get_solver_class
 
-    cfg = Config({
+    cfg = Config(cfg_dict)
+    model = get_model_class(cfg.type).create_model(cfg, dtype=jnp.bfloat16)
+    mesh = make_mesh(jax.devices()[:1], model=1)
+    training = Config({
+        "num_epoch": 1, "exp_dir": "/tmp/openasr_bench",
+        "print_inteval": 10**9, "accumulate_grad_batch": 1,
+        "init_lr": 1.0, "optimtype": "adam", "grad_max_norm": 50.0,
+        "label_smooth": 0.1, "lambda_ctc": 1.0, "lambda_qua": 1.0,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 10000,
+                         "d_model": D_MODEL},
+    })
+    solver = get_solver_class(cfg.type)(model, training, [], [], mesh=mesh)
+    batch = shard_batch(array_fields(batch_dict), mesh)
+    rng = jax.random.PRNGKey(0)
+
+    state = {"params": model.params, "opt": solver.opt_state}
+
+    def step(i):
+        state["params"], state["opt"], loss, _ = solver._train_step(
+            state["params"], state["opt"], batch, jax.random.fold_in(rng, i)
+        )
+        return loss
+
+    # warmup / compile
+    jax.block_until_ready(step(10**6))
+    jax.block_until_ready(step(10**6 + 1))
+    return _timed_trials(step, jax.block_until_ready, n_steps, n_trials)
+
+
+def flagship_cfg():
+    return {
         "type": "conv-ctc-transformer",
         "add_eos": True,
         "add_blk": True,
@@ -72,39 +131,38 @@ def bench_jax() -> float:
                     "d_model": D_MODEL, "nhead": NHEAD, "num_layers": LAYERS,
                     "encoder_dim": D_MODEL, "dim_feedforward": FFN,
                     "activation": "glu", "dropout_rate": 0.1},
-    })
-    model = get_model_class(cfg.type).create_model(cfg, dtype=jnp.bfloat16)
-    devices = jax.devices()[:1]
-    mesh = make_mesh(devices, model=1)
-    training = Config({
-        "num_epoch": 1, "exp_dir": "/tmp/openasr_bench",
-        "print_inteval": 10**9, "accumulate_grad_batch": 1,
-        "init_lr": 1.0, "optimtype": "adam", "grad_max_norm": 50.0,
-        "label_smooth": 0.1, "lambda_ctc": 1.0,
-        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 10000,
-                         "d_model": D_MODEL},
-    })
-    solver = get_solver_class(cfg.type)(model, training, [], [], mesh=mesh)
-    batch = shard_batch(array_fields(make_batch()), mesh)
-    rng = jax.random.PRNGKey(0)
+    }
 
-    params, opt_state = model.params, solver.opt_state
-    # warmup / compile
-    for i in range(2):
-        params, opt_state, loss, _ = solver._train_step(
-            params, opt_state, batch, jax.random.fold_in(rng, i)
-        )
-    jax.block_until_ready(loss)
 
+def cif_cfg():
+    cfg = flagship_cfg()
+    cfg["type"] = "ctc_cif"
+    cfg["assigner"] = {"d_model": D_MODEL, "n_layers": 2, "w_context": 3,
+                       "dropout": 0.1}
+    cfg["decoder"] = dict(cfg["decoder"], type="CIF_Decoder",
+                          num_layers=LAYERS // 2)
+    return cfg
+
+
+def bench_jax():
     n_steps = 3 if FAST else 20
-    t0 = time.time()
-    for i in range(n_steps):
-        params, opt_state, loss, _ = solver._train_step(
-            params, opt_state, batch, jax.random.fold_in(rng, 100 + i)
-        )
-    jax.block_until_ready(loss)
-    dt = time.time() - t0
-    return B * n_steps / dt
+    n_trials = 2 if FAST else 5
+    return _timed_trials_result(
+        _train_tput(flagship_cfg(), make_batch(), n_steps, n_trials)
+    )
+
+
+def bench_cif():
+    n_steps = 3 if FAST else 20
+    n_trials = 2 if FAST else 3
+    return _timed_trials_result(
+        _train_tput(cif_cfg(), make_batch(), n_steps, n_trials)
+    )
+
+
+def _timed_trials_result(samples):
+    med, iqr = _median_iqr(samples)
+    return med, iqr, [round(s, 1) for s in samples]
 
 
 def bench_torch_cpu() -> float:
@@ -223,19 +281,36 @@ def bench_decode_rtf() -> float:
 
 
 def main():
-    jax_tput = bench_jax()
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_BUDGET_SECS", "1500"))
+    jax_med, jax_iqr, jax_samples = bench_jax()
     torch_tput = bench_torch_cpu()
     detail = {
         "batch": B, "frames": T, "d_model": D_MODEL, "layers": LAYERS,
+        "trials_utts_per_sec": jax_samples,
+        "iqr_utts_per_sec": round(jax_iqr, 1),
         "torch_cpu_utts_per_sec": round(torch_tput, 3),
     }
-    if os.environ.get("BENCH_DECODE", "1") == "1":
+    # The optional CIF / decode entries each cost a fresh compile (minutes
+    # on a remote-compile TPU tunnel when the persistent cache is cold);
+    # skip them rather than risk the whole record when the budget is spent.
+    def within_budget(extra_name):
+        if time.time() - t_start < budget:
+            return True
+        detail[f"{extra_name}_skipped"] = "bench budget exhausted"
+        return False
+
+    if os.environ.get("BENCH_CIF", "1") == "1" and within_budget("cif"):
+        cif_med, cif_iqr, cif_samples = bench_cif()
+        detail["cif_train_utts_per_sec"] = round(cif_med, 1)
+        detail["cif_iqr_utts_per_sec"] = round(cif_iqr, 1)
+    if os.environ.get("BENCH_DECODE", "1") == "1" and within_budget("decode"):
         detail["beam_decode_rtf"] = round(bench_decode_rtf(), 5)
     result = {
         "metric": "train_throughput_conv_ctc_transformer",
-        "value": round(jax_tput, 3),
+        "value": round(jax_med, 3),
         "unit": "utts/sec/chip",
-        "vs_baseline": round(jax_tput / torch_tput, 3),
+        "vs_baseline": round(jax_med / torch_tput, 3),
         "detail": detail,
     }
     print(json.dumps(result))
