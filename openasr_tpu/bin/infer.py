@@ -55,8 +55,12 @@ def get_args(argv=None):
 
 
 def main(argv=None):
-    from openasr_tpu.utils import pin_default_device
+    from openasr_tpu.utils import (
+        configure_compile_cache,
+        pin_default_device,
+    )
     pin_default_device()
+    configure_compile_cache()
     logging.basicConfig(level=logging.INFO)
     args = get_args(argv)
     t_start = time.time()

@@ -26,8 +26,12 @@ from openasr_tpu.utils.metrics import wer
 
 
 def main(argv=None):
-    from openasr_tpu.utils import pin_default_device
+    from openasr_tpu.utils import (
+        configure_compile_cache,
+        pin_default_device,
+    )
     pin_default_device()
+    configure_compile_cache()
     setup_logging()
     parser = argparse.ArgumentParser()
     parser.add_argument("--model_type", required=True)

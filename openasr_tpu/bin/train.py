@@ -119,8 +119,12 @@ def build_loaders(dataconfig, trainingconfig, modelconfig, tokenizer, ndata,
 
 
 def main(argv=None):
-    from openasr_tpu.utils import pin_default_device
+    from openasr_tpu.utils import (
+        configure_compile_cache,
+        pin_default_device,
+    )
     pin_default_device()
+    configure_compile_cache()
     setup_logging()
     parser = argparse.ArgumentParser(description="Train an ASR model (TPU)")
     parser.add_argument("config", help="path to YAML config")

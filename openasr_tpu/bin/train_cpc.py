@@ -28,8 +28,12 @@ from openasr_tpu.utils.checkpoint import load_package
 
 
 def main(argv=None):
-    from openasr_tpu.utils import pin_default_device
+    from openasr_tpu.utils import (
+        configure_compile_cache,
+        pin_default_device,
+    )
     pin_default_device()
+    configure_compile_cache()
     setup_logging()
     parser = argparse.ArgumentParser(description="CPC pretrain / finetune")
     parser.add_argument("config")

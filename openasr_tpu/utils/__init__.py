@@ -9,6 +9,29 @@ from openasr_tpu.utils.metrics import edit_distance, batch_distance  # noqa: F40
 logger = logging.getLogger(__name__)
 
 
+def configure_compile_cache() -> None:
+    """Enable JAX's persistent compilation cache for the CLI entry points
+    (default dir /tmp/openasr_jax_cache; opt out with
+    OPENASR_COMPILE_CACHE=0, redirect with JAX_COMPILATION_CACHE_DIR).
+
+    On remote-compile TPU tunnels a cold flash-attention train step takes
+    minutes to compile; with the cache, re-running the same CLI starts in
+    seconds."""
+    if os.environ.get("OPENASR_COMPILE_CACHE", "1") == "0":
+        return
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/openasr_jax_cache"
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+    except Exception:  # config name drift across jax versions: cache is
+        pass           # best-effort, never fatal
+
+
 def pin_default_device() -> None:
     """Honor OPENASR_DEVICE=cpu|tpu: pin eager dispatch (and therefore
     `make_mesh`'s platform resolution) to that backend.

@@ -140,3 +140,22 @@ def test_wer():
     assert out["n_ref"] == 5
     assert abs(out["wer"] - 20.0) < 1e-6
     assert abs(out["sub"] - 20.0) < 1e-6
+
+
+def test_model_type_alias_resolution():
+    """Reference YAMLs spell types inconsistently (Conv_CTC vs conv-ctc,
+    CPC_Model vs encoder_cpc); lookup must be case/-/_ insensitive."""
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.solvers import get_solver_class
+
+    assert get_model_class("Conv_CTC") is get_model_class("conv-ctc")
+    assert get_model_class("Conv_CTC_Transformer") is get_model_class(
+        "conv-ctc-transformer"
+    )
+    assert get_model_class("CPC_Model") is get_model_class("encoder_cpc")
+    assert get_model_class("cif") is get_model_class("CIF")
+    assert get_solver_class("Conv_CTC") is get_solver_class("conv-ctc")
+    import pytest
+
+    with pytest.raises(ValueError):
+        get_model_class("definitely_not_a_model")
