@@ -76,12 +76,12 @@ def flash_attention_enabled() -> bool:
 
 def flash_attention_max_len() -> int:
     """Optional length ceiling for routing through the Pallas kernel
-    (0 = no ceiling, the default).  With the reduction dimension in the
-    pallas grid the kernel matches or beats XLA's fused dense attention from
-    T=256 up while never materializing the [B, H, Tq, Tk] scores; only
-    tiny-batch short-T micro cases measure faster on the XLA path — set
-    OPENASR_FLASH_MAX_LEN (or =-1 semantics via OPENASR_FLASH_ATTENTION=0)
-    to steer those."""
+    (0 = no ceiling, the default).  Measured end-to-end on the flagship
+    train step (the only reliable comparison on this hardware — op-level
+    microbenchmarks are swamped by dispatch latency), the kernel wins at
+    every sequence length tried: +44% at T=128 frames (20.7k vs 14.4k
+    utts/sec/chip) and +15-28% at T=512, so the default stays ungated;
+    OPENASR_FLASH_MAX_LEN remains available as an operator escape hatch."""
     return int(os.environ.get("OPENASR_FLASH_MAX_LEN", "0"))
 
 
