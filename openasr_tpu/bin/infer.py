@@ -94,9 +94,17 @@ def main(argv=None):
         sampler = TimeBasedSampler(test_set, args.batch_frames, 1)
     loader = DataLoader(test_set, sampler, collate, num_workers=2)
 
-    fd = sys.stdout if args.output.strip() == "-" else open(
-        args.output, "w", encoding="utf8"
-    )
+    out_path = args.output.strip()
+    if out_path == "-":
+        fd = sys.stdout
+    else:
+        # recipes write into exp_dir/decode_*/hyp.txt; create the directory
+        # rather than crash after the (expensive) model load
+        import os
+
+        parent = os.path.dirname(os.path.abspath(out_path))
+        os.makedirs(parent, exist_ok=True)
+        fd = open(out_path, "w", encoding="utf8")
 
     lm = None
     if args.lm_pkg and args.lm_weight != 0.0:
@@ -140,12 +148,17 @@ def main(argv=None):
         def greedy_fn(params, inputs, lengths):
             return model.greedy_decode(params, inputs, lengths)
     else:
+        # lm params ride as a jit ARGUMENT (like model.params) so they are
+        # one shared device copy instead of constants baked into every
+        # shape-bucket executable
+        lm_host_params = lm.params if lm is not None else None
+
         @jax.jit
-        def beam_fn(params, inputs, lengths):
+        def beam_fn(params, lm_params, inputs, lengths):
             return model.batch_beam_decode(
                 params, inputs, lengths,
                 beam_size=args.nbest, max_decode_len=args.maxlen,
-                lm=lm, lm_weight=args.lm_weight,
+                lm=lm, lm_params=lm_params, lm_weight=args.lm_weight,
             )
 
     seen_buckets = set()
@@ -173,7 +186,9 @@ def main(argv=None):
                 lens = [[int(idlens[i])] for i in range(len(utts))]
                 scores = [[0.0] for _ in range(len(utts))]
         else:
-            pred_ids, len_dec, sc = beam_fn(model.params, inputs, lengths)
+            pred_ids, len_dec, sc = beam_fn(
+                model.params, lm_host_params, inputs, lengths
+            )
             pred_ids = np.asarray(pred_ids)
             len_dec = np.asarray(len_dec)
             sc = np.asarray(sc)

@@ -189,11 +189,14 @@ class CIF(Framework):
         )
 
     def batch_beam_decode(self, params, inputs, lengths, beam_size=5,
-                          max_decode_len=100):
+                          max_decode_len=100, lm=None, lm_params=None,
+                          lm_weight=0.0):
         """Beam over CIF outputs: fixed number of steps = CIF length
         (reference: Speech_Models.py:426-485).  The per-step decoder is the
         reference's pad-and-index full forward; the prefix buffer rides in
-        the beam-search cache so reordering follows beams."""
+        the beam-search cache so reordering follows beams.  Optional
+        LSTM-LM shallow fusion matches the attention models'
+        (speech.py:batch_beam_decode)."""
         encoded, cif_lens = self.get_encoded(params, inputs, lengths,
                                              max_decode_len)
         b = encoded.shape[0]
@@ -213,9 +216,26 @@ class CIF(Framework):
             )
             return logits, {"prefix": prefix}
 
+        lm_step_fn = init_lm_cache = None
+        if lm is not None and lm_weight != 0.0:
+            from openasr_tpu.models.lm import LSTMLM
+
+            lm_module = lm.module if hasattr(lm, "module") else lm
+            lm_p = lm_params if lm_params is not None else lm.params
+            init_lm_cache = lm_module.apply(
+                {"params": lm_p}, b * beam_size, method=LSTMLM.init_carries
+            )
+
+            def lm_step_fn(tokens, lm_cache):
+                return lm_module.apply(
+                    {"params": lm_p}, tokens, lm_cache, method=LSTMLM.step
+                )
+
         vocab = self.configs.decoder["vocab_size"]
         preds, lens, scores = batch_beam_search(
-            step_fn, cache, b, beam_size, max_decode_len, vocab
+            step_fn, cache, b, beam_size, max_decode_len, vocab,
+            lm_step_fn=lm_step_fn, init_lm_cache=init_lm_cache,
+            lm_weight=lm_weight,
         )
         # output length is the CIF length (no EOS stopping in the reference)
         cif_lens_b = jnp.minimum(cif_lens, max_decode_len)[:, None]

@@ -270,19 +270,68 @@ class Solver:
         return grad_step, apply_step
 
     # ----------------------------------------------------------- epoch loops
+    #
+    # Loss totals are accumulated ON DEVICE and only pulled to the host at
+    # print intervals / epoch end — a per-batch float() would force a device
+    # sync every step and stall the TPU dispatch pipeline (the reference's
+    # .item() calls had the same cost on GPU, src/solvers/transformer.py:
+    # 44-55, but PyTorch eager hid it).  The helpers below are shared by the
+    # base loop and the CIF_MIX dual-loader loop so the accounting cannot
+    # drift between them.
+
+    def _totals_update(self, totals, losses):
+        tot, tot_norm, tot_seqs = totals
+        norm = losses[self.main_loss_norm]
+        tot_norm = norm if tot_norm is None else tot_norm + norm
+        seqs = losses["n_seqs"]
+        tot_seqs = seqs if tot_seqs is None else tot_seqs + seqs
+        for k in losses:
+            if k.endswith("_loss"):
+                tot[k] = tot[k] + losses[k] if k in tot else losses[k]
+        return (tot, tot_norm, tot_seqs)
+
+    def _totals_log(self, totals, timer, niter, tot_iters, phase) -> None:
+        tot, tot_norm, tot_seqs = totals
+        host_norm = max(float(tot_norm), 1.0)
+        host_tot = {k: float(v) for k, v in tot.items()}
+        sent_per_sec = float(tot_seqs) / max(timer.toc(), 1e-9)
+        parts = " ".join(
+            f"{k}: {v / host_norm:.3f}" for k, v in host_tot.items()
+        )
+        logger.info(
+            "Epoch %d | Step %d | Batch %d/%d | %s | lr %.3e | "
+            "sent/sec %.2f",
+            self.epoch, self.step, niter, tot_iters, parts,
+            self.current_lr(), sent_per_sec,
+        )
+        self._log_metrics({
+            "phase": phase,
+            "epoch": self.epoch,
+            "step": self.step,
+            "batch": niter,
+            "lr": self.current_lr(),
+            "sent_per_sec": sent_per_sec,
+            **{k: v / host_norm for k, v in host_tot.items()},
+        })
+
+    def _totals_close(self, totals) -> float:
+        """Epoch epilogue: close a profiler window that spanned the epoch
+        end, return the epoch-mean main loss."""
+        if getattr(self, "_profiling", False):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self._profiled = True
+            logger.info("profiler: trace stopped (epoch end)")
+        tot, tot_norm, _ = totals
+        if tot_norm is None:
+            return 0.0
+        return float(tot[self.main_loss_key]) / max(float(tot_norm), 1e-9)
 
     def iter_one_epoch(self, cross_valid: bool = False) -> float:
         loader = self.cv_loader if cross_valid else self.tr_loader
         timer = Timer()
         timer.tic()
-        # Loss totals are accumulated ON DEVICE and only pulled to the host at
-        # print intervals / epoch end — a per-batch float() would force a
-        # device sync every step and stall the TPU dispatch pipeline (the
-        # reference's .item() calls had the same cost on GPU,
-        # src/solvers/transformer.py:44-55, but PyTorch eager hid it).
-        tot: Dict[str, jnp.ndarray] = {}
-        tot_norm = None
-        tot_seqs = None
+        totals = ({}, None, None)
 
         if not cross_valid and self.accumulate_grad_batch > 1:
             if self._grad_accum is None:
@@ -328,50 +377,14 @@ class Solver:
                     self.model.params = params
                     self.step += 1
 
-            norm = losses[self.main_loss_norm]
-            tot_norm = norm if tot_norm is None else tot_norm + norm
-            seqs = losses["n_seqs"]
-            tot_seqs = seqs if tot_seqs is None else tot_seqs + seqs
-            for k in losses:
-                if k.endswith("_loss"):
-                    tot[k] = tot[k] + losses[k] if k in tot else losses[k]
-
+            totals = self._totals_update(totals, losses)
             if niter % self.print_inteval == 0:
-                host_norm = max(float(tot_norm), 1.0)
-                host_tot = {k: float(v) for k, v in tot.items()}
-                sent_per_sec = float(tot_seqs) / max(timer.toc(), 1e-9)
-                parts = " ".join(
-                    f"{k}: {v / host_norm:.3f}" for k, v in host_tot.items()
-                )
-                logger.info(
-                    "Epoch %d | Step %d | Batch %d/%d | %s | lr %.3e | "
-                    "sent/sec %.2f",
-                    self.epoch, self.step, niter, tot_iters, parts,
-                    self.current_lr(), sent_per_sec,
-                )
-                self._log_metrics(
-                    {
-                        "phase": "cv" if cross_valid else "train",
-                        "epoch": self.epoch,
-                        "step": self.step,
-                        "batch": niter,
-                        "lr": self.current_lr(),
-                        "sent_per_sec": sent_per_sec,
-                        **{k: v / host_norm for k, v in host_tot.items()},
-                    }
+                self._totals_log(
+                    totals, timer, niter, tot_iters,
+                    "cv" if cross_valid else "train",
                 )
 
-        if getattr(self, "_profiling", False):
-            # epoch ended inside the trace window: close the trace so the
-            # dump is written even for short runs
-            jax.profiler.stop_trace()
-            self._profiling = False
-            self._profiled = True
-            logger.info("profiler: trace stopped (epoch end)")
-
-        if tot_norm is None:
-            return 0.0
-        return float(tot[self.main_loss_key]) / max(float(tot_norm), 1e-9)
+        return self._totals_close(totals)
 
     def _install_preemption_handler(self) -> None:
         """SIGTERM (and SIGUSR1, the common preemption warning on cloud

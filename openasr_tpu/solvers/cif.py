@@ -81,11 +81,7 @@ class CIFMIXSolver(CIFCTCSolver):
 
         timer = Timer()
         timer.tic()
-        # device-side totals (host sync only at print intervals / epoch end,
-        # same policy as the base epoch loop)
-        tot = {}
-        tot_norm = None
-        tot_seqs = None
+        totals = ({}, None, None)  # device-side, base-loop policy
 
         params = self.model.params
         paired_cycle = itertools.cycle(iter(self.tr_loader))
@@ -106,43 +102,15 @@ class CIFMIXSolver(CIFCTCSolver):
                 acc, loss, losses = grad_step(
                     params, arrays, jax.random.fold_in(base_rng, j), acc
                 )
-                norm = losses[self.main_loss_norm]
-                tot_norm = norm if tot_norm is None else tot_norm + norm
-                seqs = losses["n_seqs"]
-                tot_seqs = seqs if tot_seqs is None else tot_seqs + seqs
-                for k in losses:
-                    if k.endswith("_loss"):
-                        tot[k] = tot[k] + losses[k] if k in tot else losses[k]
+                totals = self._totals_update(totals, losses)
             params, self.opt_state = apply_step(params, self.opt_state, acc)
             self.model.params = params
             self.step += 1
 
             if niter % self.print_inteval == 0:
-                host_norm = max(float(tot_norm), 1.0)
-                host_tot = {k: float(v) for k, v in tot.items()}
-                sent_per_sec = float(tot_seqs) / max(timer.toc(), 1e-9)
-                parts = " ".join(
-                    f"{k}: {v / host_norm:.3f}" for k, v in host_tot.items()
-                )
-                logger.info(
-                    "Epoch %d | Step %d | Batch %d/%d | %s | lr %.3e | "
-                    "sent/sec %.2f",
-                    self.epoch, self.step, niter, tot_iters, parts,
-                    self.current_lr(), sent_per_sec,
-                )
-                self._log_metrics({
-                    "phase": "train",
-                    "epoch": self.epoch,
-                    "step": self.step,
-                    "batch": niter,
-                    "lr": self.current_lr(),
-                    "sent_per_sec": sent_per_sec,
-                    **{k: v / host_norm for k, v in host_tot.items()},
-                })
+                self._totals_log(totals, timer, niter, tot_iters, "train")
 
-        if tot_norm is None:
-            return 0.0
-        return float(tot[self.main_loss_key]) / max(float(tot_norm), 1e-9)
+        return self._totals_close(totals)
 
 
 SOLVER_REGISTRY.update({

@@ -23,10 +23,17 @@ def configure_compile_cache() -> None:
         "JAX_COMPILATION_CACHE_DIR", "/tmp/openasr_jax_cache"
     )
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    # jax snapshots env-derived config at import time and jax is imported
+    # before main() runs, so BOTH knobs must go through jax.config.update
+    # (an env setdefault alone is a no-op here)
     try:
         jax.config.update(
             "jax_compilation_cache_dir",
             os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
         )
     except Exception:  # config name drift across jax versions: cache is
         pass           # best-effort, never fatal

@@ -57,3 +57,43 @@ def test_shallow_fusion_changes_scores_and_matches_weight_zero():
     )
     j_preds, _, j_scores = decode(model.params, lm.params, feats, lens)
     np.testing.assert_array_equal(np.asarray(j_preds), np.asarray(fused_preds))
+
+
+def test_cif_beam_decode_accepts_lm():
+    """CIF-family batch_beam_decode must take the same lm kwargs the infer
+    CLI always passes (a missing signature here made CLI decode of CIF
+    models crash with TypeError)."""
+    cfg = Config({
+        "type": "CIF",
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "assigner": {"d_model": 32, "n_layers": 2, "w_context": 3,
+                     "dropout": 0.0},
+        "decoder": {"type": "CIF_Decoder", "vocab_size": 20, "d_model": 32,
+                    "nhead": 2, "num_layers": 1, "encoder_dim": 32,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "dropout_rate": 0.0},
+    })
+    model = get_model_class("CIF").create_model(cfg)
+    lm = get_model_class("lstm_lm").create_model(Config(
+        {"type": "lstm_lm", "vocab_size": 20, "d_model": 16,
+         "n_layers": 1, "dropout_rate": 0.0}
+    ))
+    rng = np.random.RandomState(1)
+    feats = rng.randn(2, 48, 20).astype(np.float32)
+    lens = np.array([48, 40], np.int32)
+
+    base_preds, _, base_scores = model.batch_beam_decode(
+        model.params, feats, lens, beam_size=2, max_decode_len=6,
+        lm=lm, lm_weight=0.0,
+    )
+    fused_preds, _, fused_scores = model.batch_beam_decode(
+        model.params, feats, lens, beam_size=2, max_decode_len=6,
+        lm=lm, lm_params=lm.params, lm_weight=0.5,
+    )
+    assert np.asarray(fused_preds).shape == np.asarray(base_preds).shape
+    assert not np.allclose(np.asarray(fused_scores), np.asarray(base_scores))
