@@ -193,15 +193,110 @@ class Wav2VecCTC(Framework):
 
 def load_fairseq_wav2vec(path: str):
     """Read a fairseq wav2vec checkpoint (torch .pt) and return its raw
-    state dict.  The reference's loader was an empty stub
-    (reference: src/fairseq_tools.py:4-8); here we at least parse the
-    checkpoint host-side so weights can be mapped by shape.  Full topology
-    translation (fairseq's 7-layer conv extractor / relative-position
-    convolutions) is out of scope — raise with guidance if shapes differ.
-    """
+    state dict (host-side numpy).  The reference's loader was an empty stub
+    (reference: src/fairseq_tools.py:4-8).  Pair with
+    `map_fairseq_context_network` to import the transformer context
+    network into a Wav2VecCTC model."""
     import numpy as np
     import torch
 
     pkg = torch.load(path, map_location="cpu", weights_only=False)
     state = pkg.get("model", pkg)
     return {k: np.asarray(v) for k, v in state.items() if hasattr(v, "numpy")}
+
+
+def map_fairseq_context_network(state: dict, encoder_params: dict,
+                                nhead: int) -> dict:
+    """Map fairseq wav2vec2 context-network weights onto a
+    Wav2VecEncoderModule parameter tree.
+
+    Covered (fairseq name -> ours):
+      encoder.layers.N.self_attn.{q,k,v,out}_proj -> layerN.self_attn.{q,k,v,out}
+      encoder.layers.N.self_attn_layer_norm       -> layerN.norm1
+      encoder.layers.N.fc1 / fc2                  -> layerN.ffn.linear1/linear2
+      encoder.layers.N.final_layer_norm           -> layerN.norm2
+      encoder.layer_norm                          -> final_norm
+      post_extract_proj                           -> proj
+    (post-LN layout on both sides; fairseq's default layer_norm_first=False
+    matches TransformerEncoderLayer's residual->LN ordering, and both use
+    exact GeLU.)
+
+    NOT mapped — structurally different by design: fairseq's 7-layer conv
+    feature extractor (stride 320) vs the x160 WavConv frontend, and the
+    relative-positional conv (`encoder.pos_conv`) vs sinusoidal positions.
+    A KeyError/shape error means the checkpoint topology differs from the
+    configured model; nothing is silently skipped for the covered names.
+
+    Returns a NEW encoder params dict; leaves not covered keep their
+    current values.
+    """
+    import numpy as np
+
+    def t(x):
+        return jnp.asarray(np.asarray(x))
+
+    new = dict(encoder_params)
+
+    if "post_extract_proj.weight" in state:
+        new["proj"] = {
+            "kernel": t(state["post_extract_proj.weight"]).T,
+            "bias": t(state["post_extract_proj.bias"]),
+        }
+    if "encoder.layer_norm.weight" in state:
+        new["final_norm"] = {
+            "scale": t(state["encoder.layer_norm.weight"]),
+            "bias": t(state["encoder.layer_norm.bias"]),
+        }
+
+    n = 0
+    while f"encoder.layers.{n}.self_attn.q_proj.weight" in state:
+        pre = f"encoder.layers.{n}"
+        d = state[f"{pre}.self_attn.q_proj.weight"].shape[0]
+        assert d % nhead == 0, (d, nhead)
+        dh = d // nhead
+        lp = dict(new[f"layer{n}"])
+
+        def qkv(name):
+            # torch Linear weight is [out, in]; our DenseGeneral kernel is
+            # [in, H, dh] with heads split head-major from the out dim
+            w = t(state[f"{pre}.self_attn.{name}_proj.weight"])
+            b = t(state[f"{pre}.self_attn.{name}_proj.bias"])
+            return {
+                "kernel": w.T.reshape(d, nhead, dh),
+                "bias": b.reshape(nhead, dh),
+            }
+
+        wo = t(state[f"{pre}.self_attn.out_proj.weight"])
+        lp["self_attn"] = {
+            "q": qkv("q"), "k": qkv("k"), "v": qkv("v"),
+            "out": {
+                "kernel": wo.T.reshape(nhead, dh, d),
+                "bias": t(state[f"{pre}.self_attn.out_proj.bias"]),
+            },
+        }
+        lp["norm1"] = {
+            "scale": t(state[f"{pre}.self_attn_layer_norm.weight"]),
+            "bias": t(state[f"{pre}.self_attn_layer_norm.bias"]),
+        }
+        lp["ffn"] = {
+            "linear1": {
+                "kernel": t(state[f"{pre}.fc1.weight"]).T,
+                "bias": t(state[f"{pre}.fc1.bias"]),
+            },
+            "linear2": {
+                "kernel": t(state[f"{pre}.fc2.weight"]).T,
+                "bias": t(state[f"{pre}.fc2.bias"]),
+            },
+        }
+        lp["norm2"] = {
+            "scale": t(state[f"{pre}.final_layer_norm.weight"]),
+            "bias": t(state[f"{pre}.final_layer_norm.bias"]),
+        }
+        new[f"layer{n}"] = lp
+        n += 1
+    if n == 0:
+        raise ValueError(
+            "no encoder.layers.N.self_attn.* entries found — not a "
+            "fairseq wav2vec2 context-network state dict"
+        )
+    return new

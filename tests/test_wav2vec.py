@@ -103,3 +103,104 @@ def test_load_frontend_from_cpc_package():
     got = jax.tree_util.tree_leaves(model.params["encoder"]["frontend"])[0]
     want = jax.tree_util.tree_leaves(pkg["components"]["splayer"])[0]
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fairseq_context_network_mapping():
+    """map_fairseq_context_network parity against an independent NumPy
+    implementation of fairseq's post-LN TransformerSentenceEncoderLayer
+    (layer_norm_first=False) on a synthetic fairseq-named state dict."""
+    import jax.numpy as jnp
+
+    from openasr_tpu.models.layers import TransformerEncoderLayer
+    from openasr_tpu.models.wav2vec import map_fairseq_context_network
+
+    rng = np.random.RandomState(0)
+    d, nhead, ffn, layers = 16, 2, 32, 2
+    dh = d // nhead
+
+    state = {}
+    for n in range(layers):
+        pre = f"encoder.layers.{n}"
+        for name in ("q", "k", "v", "out"):
+            state[f"{pre}.self_attn.{name}_proj.weight"] = (
+                rng.randn(d, d).astype(np.float32) * 0.2
+            )
+            state[f"{pre}.self_attn.{name}_proj.bias"] = (
+                rng.randn(d).astype(np.float32) * 0.1
+            )
+        state[f"{pre}.self_attn_layer_norm.weight"] = (
+            1.0 + 0.1 * rng.randn(d).astype(np.float32)
+        )
+        state[f"{pre}.self_attn_layer_norm.bias"] = (
+            0.1 * rng.randn(d).astype(np.float32)
+        )
+        state[f"{pre}.fc1.weight"] = rng.randn(ffn, d).astype(np.float32) * 0.2
+        state[f"{pre}.fc1.bias"] = rng.randn(ffn).astype(np.float32) * 0.1
+        state[f"{pre}.fc2.weight"] = rng.randn(d, ffn).astype(np.float32) * 0.2
+        state[f"{pre}.fc2.bias"] = rng.randn(d).astype(np.float32) * 0.1
+        state[f"{pre}.final_layer_norm.weight"] = (
+            1.0 + 0.1 * rng.randn(d).astype(np.float32)
+        )
+        state[f"{pre}.final_layer_norm.bias"] = (
+            0.1 * rng.randn(d).astype(np.float32)
+        )
+
+    def np_ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-6) * w + b
+
+    def np_gelu(x):
+        from scipy.stats import norm as _norm
+
+        return x * _norm.cdf(x)
+
+    def np_fairseq_layer(x, pre):
+        # post-LN: residual -> self_attn_layer_norm; residual -> final_ln
+        def lin(name, v):
+            return v @ state[f"{pre}.{name}.weight"].T + state[f"{pre}.{name}.bias"]
+
+        b, t_, _ = x.shape
+        q = lin("self_attn.q_proj", x).reshape(b, t_, nhead, dh)
+        k = lin("self_attn.k_proj", x).reshape(b, t_, nhead, dh)
+        v = lin("self_attn.v_proj", x).reshape(b, t_, nhead, dh)
+        s = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(dh)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        attn = np.einsum("bhqk,bkhd->bqhd", p, v).reshape(b, t_, d)
+        attn = lin("self_attn.out_proj", attn)
+        x = np_ln(x + attn, state[f"{pre}.self_attn_layer_norm.weight"],
+                  state[f"{pre}.self_attn_layer_norm.bias"])
+        h = np_gelu(lin("fc1", x))
+        h = lin("fc2", h)
+        return np_ln(x + h, state[f"{pre}.final_layer_norm.weight"],
+                     state[f"{pre}.final_layer_norm.bias"])
+
+    b, t = 2, 12
+    x = rng.randn(b, t, d).astype(np.float32)
+    ref = x.copy()
+    for n in range(layers):
+        ref = np_fairseq_layer(ref, f"encoder.layers.{n}")
+
+    # build our layer params, map fairseq weights in, run our stack
+    layer = TransformerEncoderLayer(d, nhead, ffn, 0.0, "gelu")
+    lens = jnp.asarray([t, t], jnp.int32)
+    enc_params = {}
+    for n in range(layers):
+        enc_params[f"layer{n}"] = layer.init(
+            jax.random.PRNGKey(n), jnp.asarray(x), kv_lengths=lens
+        )["params"]
+    mapped = map_fairseq_context_network(state, enc_params, nhead)
+
+    out = jnp.asarray(x)
+    for n in range(layers):
+        out = layer.apply(
+            {"params": mapped[f"layer{n}"]}, out, kv_lengths=lens
+        )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+    # unmapped-topology guard
+    import pytest
+
+    with pytest.raises(ValueError):
+        map_fairseq_context_network({"foo": 1}, enc_params, nhead)
