@@ -37,12 +37,19 @@ def main():
             if not os.path.exists(path):
                 continue
             chars = " ".join("_" if c == " " else c for c in text.lower())
+            # phones synthesized as char-spelled words joined by "|"
+            # (reference: egs/libri/gen_json.py:55-70)
+            phones = " | ".join(
+                " ".join(word) for word in text.lower().split()
+            )
             samples.append({
                 "uttid": utt,
                 "feat": path,
                 "feat_length": wave_duration(path),
                 "tokens": chars,
                 "token_length": len(chars.split()),
+                "phones": phones,
+                "phone_length": len(phones.split()),
             })
     with open(args.out_json, "w") as f:
         json.dump(samples, f)

@@ -62,6 +62,10 @@ class FbankConfig(NamedTuple):
     use_log_fbank: bool = True
     use_power: bool = True
     round_to_power_of_two: bool = True
+    # VTLN piecewise-linear warp (Kaldi semantics; warp 1.0 = off)
+    vtln_low: float = 100.0
+    vtln_high: float = -500.0  # <0 means offset from Nyquist
+    vtln_warp: float = 1.0
 
     @property
     def window_size(self) -> int:
@@ -102,11 +106,45 @@ def feature_window(cfg: FbankConfig) -> np.ndarray:
     return w.astype(np.float32)
 
 
+def inverse_mel_scale(mel):
+    return MEL_LOW_FREQ * (np.exp(np.asarray(mel) / MEL_HIGH_FREQ_Q) - 1.0)
+
+
+def vtln_warp_freq(vtln_low: float, vtln_high: float, low_freq: float,
+                   high_freq: float, warp: float, freq):
+    """Kaldi's 3-piece linear VTLN warp F(freq) with F(low)==low and
+    F(high)==high (reference: src/third_party/kaldi_signal.py:302-372):
+    the middle piece is freq/warp between inflection points
+    l = vtln_low*max(1, warp) and h = vtln_high*min(1, warp)."""
+    assert vtln_low > low_freq and vtln_high < high_freq
+    freq = np.asarray(freq, np.float64)
+    l = vtln_low * max(1.0, warp)
+    h = vtln_high * min(1.0, warp)
+    assert l > low_freq and h < high_freq
+    scale = 1.0 / warp
+    scale_left = (scale * l - low_freq) / (l - low_freq)
+    scale_right = (high_freq - scale * h) / (high_freq - h)
+
+    res = np.where(
+        freq < l,
+        low_freq + scale_left * (freq - low_freq),
+        np.where(
+            freq < h,
+            scale * freq,
+            high_freq + scale_right * (freq - high_freq),
+        ),
+    )
+    outside = (freq < low_freq) | (freq > high_freq)
+    return np.where(outside, freq, res)
+
+
 def mel_banks(cfg: FbankConfig) -> np.ndarray:
     """Triangular mel filterbank matrix [num_bins, padded_window_size//2+1].
 
-    Matches Kaldi's MelBanks: bins are defined on the first
-    padded_window_size//2 FFT bins; the Nyquist column is zero.
+    Matches Kaldi's MelBanks incl. VTLN warping of the bin edges when
+    cfg.vtln_warp != 1 (reference: kaldi_signal.py:389-455): bins are
+    defined on the first padded_window_size//2 FFT bins; the Nyquist
+    column is zero.
     """
     nfft = cfg.padded_window_size
     num_fft_bins = nfft // 2
@@ -123,11 +161,34 @@ def mel_banks(cfg: FbankConfig) -> np.ndarray:
     center_mel = left_mel + mel_delta
     right_mel = center_mel + mel_delta
 
+    if cfg.vtln_warp != 1.0:
+        vtln_high = (
+            cfg.vtln_high if cfg.vtln_high > 0 else nyquist + cfg.vtln_high
+        )
+
+        def warp_mel(m):
+            return mel_scale(vtln_warp_freq(
+                cfg.vtln_low, vtln_high, cfg.low_freq, high_freq,
+                cfg.vtln_warp, inverse_mel_scale(m),
+            ))
+
+        left_mel = warp_mel(left_mel)
+        center_mel = warp_mel(center_mel)
+        right_mel = warp_mel(right_mel)
+
     freqs = fft_bin_width * np.arange(num_fft_bins, dtype=np.float64)[None, :]
     mel = mel_scale(freqs)
     up_slope = (mel - left_mel) / (center_mel - left_mel)
     down_slope = (right_mel - mel) / (right_mel - center_mel)
-    weights = np.maximum(0.0, np.minimum(up_slope, down_slope))
+    if cfg.vtln_warp == 1.0:
+        weights = np.maximum(0.0, np.minimum(up_slope, down_slope))
+    else:
+        # warping may reorder the edges: assign each region explicitly
+        weights = np.zeros_like(up_slope)
+        up_idx = (mel > left_mel) & (mel <= center_mel)
+        down_idx = (mel > center_mel) & (mel < right_mel)
+        weights[up_idx] = up_slope[up_idx]
+        weights[down_idx] = down_slope[down_idx]
 
     full = np.zeros((cfg.num_mel_bins, num_fft_bins + 1), dtype=np.float32)
     full[:, :num_fft_bins] = weights

@@ -191,3 +191,55 @@ def test_resample_batched_lengths(wav):
         rtol=1e-4, atol=2e-5,
     )
     assert np.all(out[1, int(out_lens[1]) :] == 0.0)
+
+
+# -------------------------------------------------------------------- vtln
+
+def test_vtln_warp_properties():
+    """Kaldi VTLN warp invariants (reference kaldi_signal.py:302-372):
+    F(low)==low, F(high)==high, middle piece == freq/warp, continuity."""
+    from openasr_tpu.ops.fbank import vtln_warp_freq
+
+    low, high, vl, vh = 20.0, 8000.0, 100.0, 7500.0
+    for warp in (0.9, 1.1):
+        l = vl * max(1.0, warp)
+        h = vh * min(1.0, warp)
+        f = np.linspace(low, high, 2001)
+        w = vtln_warp_freq(vl, vh, low, high, warp, f)
+        assert abs(w[0] - low) < 1e-6
+        assert abs(w[-1] - high) < 1e-6
+        mid = (f > l) & (f < h)
+        np.testing.assert_allclose(w[mid], f[mid] / warp, rtol=1e-12)
+        # piecewise-linear and continuous: small steps -> small jumps
+        assert np.max(np.abs(np.diff(w))) < 3 * (f[1] - f[0]) / min(warp, 1.0)
+        # monotone increasing
+        assert np.all(np.diff(w) > 0)
+
+
+def test_mel_banks_vtln():
+    from openasr_tpu.ops.fbank import FbankConfig, mel_banks
+
+    base = mel_banks(FbankConfig(num_mel_bins=23))
+    warped = mel_banks(FbankConfig(num_mel_bins=23, vtln_warp=1.1))
+    assert warped.shape == base.shape
+    assert not np.allclose(warped, base)
+    assert warped.min() >= 0.0 and warped.max() <= 1.0 + 1e-6
+    # every bin still has support
+    assert np.all(warped.sum(axis=1) > 0)
+    # warp factor 1.0 is exactly the unwarped bank
+    np.testing.assert_array_equal(
+        mel_banks(FbankConfig(num_mel_bins=23, vtln_warp=1.0)), base
+    )
+
+
+def test_fbank_with_vtln_runs(wav):
+    from openasr_tpu.ops.fbank import FbankConfig, fbank
+
+    cfg = FbankConfig(num_mel_bins=23, dither=0.0, vtln_warp=0.95)
+    feats, lens = fbank(wav[None, :8000], np.array([8000], np.int32), cfg)
+    assert np.isfinite(np.asarray(feats)).all()
+    base, _ = fbank(
+        wav[None, :8000], np.array([8000], np.int32),
+        FbankConfig(num_mel_bins=23, dither=0.0),
+    )
+    assert not np.allclose(np.asarray(feats), np.asarray(base))
