@@ -393,6 +393,29 @@ def read_flac(path: str) -> Tuple[int, np.ndarray]:
     return int(sample_rate), signal
 
 
+def write_wav(path: str, rate: int, data: np.ndarray) -> None:
+    """Write a PCM16 RIFF/WAVE file (capability parity with the reference's
+    vendored `wavfile.write`, src/third_party/wavfile.py:284).  Float input
+    in the int16 PCM scale is rounded; mono [N] or multi-channel [N, C]."""
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, None]
+    n, channels = data.shape
+    pcm = np.clip(np.rint(data), -32768, 32767).astype("<i2")
+    byte_rate = rate * channels * 2
+    block_align = channels * 2
+    data_bytes = pcm.tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(data_bytes)))
+        f.write(b"WAVEfmt ")
+        f.write(struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate,
+                            block_align, 16))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(data_bytes)))
+        f.write(data_bytes)
+
+
 # ----------------------------------------------------------- scheme loader
 
 def load_wave(path: str) -> Tuple[int, np.ndarray]:

@@ -311,3 +311,30 @@ def test_text_and_token_collates(tmp_path):
     out2 = kc(["a b c", "a"])
     assert out2["tokens"].shape[0] == 2
     np.testing.assert_array_equal(out2["token_lengths"], [3, 1])
+
+
+def test_write_wav_roundtrip(tmp_path):
+    """PCM16 writer parity with the readers (ref wavfile.write:284):
+    scipy and our own reader both reproduce the samples."""
+    from openasr_tpu.data.audio import read_wav, write_wav
+
+    rng = np.random.RandomState(0)
+    mono = (rng.randn(1600) * 3000).astype(np.float32)
+    path = str(tmp_path / "m.wav")
+    write_wav(path, 16000, mono)
+    rate, got = read_wav(path)
+    assert rate == 16000
+    np.testing.assert_array_equal(got, np.rint(mono).astype(np.int16))
+
+    from scipy.io import wavfile as scipy_wav
+
+    s_rate, s_data = scipy_wav.read(path)
+    assert s_rate == 16000
+    np.testing.assert_array_equal(s_data, np.rint(mono).astype(np.int16))
+
+    # stereo
+    stereo = (rng.randn(800, 2) * 3000).astype(np.float32)
+    path2 = str(tmp_path / "s.wav")
+    write_wav(path2, 8000, stereo)
+    s_rate2, s_data2 = scipy_wav.read(path2)
+    assert s_rate2 == 8000 and s_data2.shape == (800, 2)
