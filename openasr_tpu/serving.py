@@ -1,0 +1,133 @@
+"""AOT export of the decode path for serving (TPU-native deployment).
+
+`jax.export` serializes the jitted, KV-cached beam search — StableHLO plus
+calling convention — so a serving process can run decoding without any
+model-building Python (and with zero retracing): load the artifact, feed
+(params, feats, lens). Artifacts are exported per shape bucket (the same
+quantized ladder the data pipeline emits) and for multiple platforms, so
+one artifact serves TPU and CPU hosts.
+
+This is capability beyond the reference (its serving story was "run
+infer.py"); it is the natural deployment form for an XLA program.
+
+Artifact layout (single pickle file):
+  {"meta": {"model_type", "beam_size", "max_decode_len", "input_dim",
+            "platforms", "buckets": [(B, T), ...]},
+   "exports": {(B, T): serialized_bytes}}
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jax_export
+
+
+def export_beam_decode(
+    model,
+    buckets: Sequence[Tuple[int, int]],
+    path: str,
+    beam_size: int = 5,
+    max_decode_len: int = 60,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+) -> None:
+    """Export the model's decode path for each (batch, frames) bucket.
+
+    Attention/CIF models export the KV-cached beam search
+    (`batch_beam_decode` -> preds/lens/scores); pure-CTC models export
+    greedy decode plus log-probs (`kind: "ctc"` -> ids/lens and
+    log_probs/len_logits for a host-side prefix-beam rescore).
+
+    Params stay an INPUT of the exported function (weight-independent
+    artifact: push new checkpoints without re-exporting)."""
+    input_dim = int(model.configs.encoder["input_dim"])
+    is_ctc = not hasattr(model, "batch_beam_decode")
+
+    if is_ctc:
+        def decode(params, feats, lens):
+            ids, id_lens = model.greedy_decode(params, feats, lens)
+            logits, len_logits = model.get_logits(params, feats, lens)
+            log_probs = jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1
+            )
+            return ids, id_lens, log_probs, len_logits
+    else:
+        def decode(params, feats, lens):
+            return model.batch_beam_decode(
+                params, feats, lens, beam_size=beam_size,
+                max_decode_len=max_decode_len,
+            )
+
+    params_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), model.params
+    )
+    exports = {}
+    for b, t in buckets:
+        exp = jax_export.export(
+            jax.jit(decode), platforms=tuple(platforms)
+        )(
+            params_spec,
+            jax.ShapeDtypeStruct((b, t, input_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+        )
+        exports[(int(b), int(t))] = exp.serialize()
+
+    with open(path, "wb") as f:
+        pickle.dump({
+            "meta": {
+                "model_type": getattr(model, "model_type", ""),
+                "kind": "ctc" if is_ctc else "beam",
+                "beam_size": int(beam_size),
+                "max_decode_len": int(max_decode_len),
+                "input_dim": input_dim,
+                "platforms": tuple(platforms),
+                "buckets": [(int(b), int(t)) for b, t in buckets],
+            },
+            "exports": exports,
+        }, f, protocol=4)
+
+
+class ExportedDecoder:
+    """Serving-side loader: picks the smallest bucket that fits, zero-pads
+    the batch into it, runs the AOT program, trims the result rows."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.meta = blob["meta"]
+        self._fns = {
+            bucket: jax_export.deserialize(data)
+            for bucket, data in blob["exports"].items()
+        }
+        self.buckets = sorted(self._fns)
+
+    def _pick(self, b: int, t: int) -> Tuple[int, int]:
+        for bb, bt in self.buckets:
+            if bb >= b and bt >= t:
+                return bb, bt
+        raise ValueError(
+            f"no exported bucket fits batch={b} frames={t}; "
+            f"available: {self.buckets}"
+        )
+
+    def __call__(self, params, feats, lens):
+        """feats [B, T, D] float32, lens [B] int32.
+
+        kind 'beam' -> (preds [B, beam, U], lens [B, beam],
+        scores [B, beam]); kind 'ctc' -> (ids [B, T'], id_lens [B],
+        log_probs [B, T', V], len_logits [B])."""
+        feats = np.asarray(feats, np.float32)
+        lens = np.asarray(lens, np.int32)
+        b, t, d = feats.shape
+        assert d == self.meta["input_dim"], (d, self.meta["input_dim"])
+        bb, bt = self._pick(b, t)
+        padded = np.zeros((bb, bt, d), np.float32)
+        padded[:b, :t] = feats
+        plens = np.ones((bb,), np.int32)  # pad rows decode 1 dummy frame
+        plens[:b] = lens
+        out = self._fns[(bb, bt)].call(params, padded, plens)
+        return tuple(np.asarray(o)[:b] for o in out)

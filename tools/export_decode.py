@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Export a trained model's beam decode as an AOT serving artifact.
+
+  python tools/export_decode.py --model_type conv-ctc-transformer \\
+      --model_pkg exp/.../avg10.pkg --vocab_path data/chars.txt \\
+      --out decode.aot --buckets 8x512,16x1024 --nbest 5 --maxlen 60
+
+The artifact contains StableHLO for each (batch, frames) bucket and for
+each platform (tpu + cpu by default); serve it with
+`openasr_tpu.serving.ExportedDecoder` — no model code, no retracing.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from openasr_tpu.config import Config
+from openasr_tpu.data.tokenizer import CharTokenizer
+from openasr_tpu.models import get_model_class
+from openasr_tpu.serving import export_beam_decode
+from openasr_tpu.utils import configure_compile_cache, pin_default_device
+from openasr_tpu.utils.checkpoint import load_package
+
+
+def main(argv=None):
+    pin_default_device()
+    configure_compile_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_type", required=True)
+    p.add_argument("--model_pkg", required=True)
+    p.add_argument("--vocab_path", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--buckets", default="8x512,16x1024",
+                   help="comma list of BATCHxFRAMES")
+    p.add_argument("--nbest", type=int, default=5)
+    p.add_argument("--maxlen", type=int, default=60)
+    p.add_argument("--add_blk", action="store_true", default=False)
+    p.add_argument("--platforms", default="tpu,cpu")
+    args = p.parse_args(argv)
+
+    tokenizer = CharTokenizer(args.vocab_path, add_blk=args.add_blk)
+    pkg = load_package(args.model_pkg)
+    model_pkg = pkg["model"] if "model" in pkg else pkg
+    configs = Config(model_pkg["configs"])
+    configs.decoder["vocab_size"] = tokenizer.unit_num()
+    if configs.signal and "spec_aug" in configs.signal:
+        del configs.signal["spec_aug"]
+    model = get_model_class(args.model_type).create_model(configs)
+    model.restore(model_pkg)
+
+    buckets = [
+        tuple(int(x) for x in spec.split("x"))
+        for spec in args.buckets.split(",")
+    ]
+    export_beam_decode(
+        model, buckets=buckets, path=args.out, beam_size=args.nbest,
+        max_decode_len=args.maxlen,
+        platforms=tuple(args.platforms.split(",")),
+    )
+    print(f"exported {len(buckets)} buckets -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
