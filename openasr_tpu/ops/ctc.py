@@ -56,13 +56,23 @@ def _ctc_forward(logits, logit_lengths, targets, target_lengths, blank_id):
     logit_lengths = logit_lengths.astype(jnp.int32)
     s_valid = s_idx < (2 * target_lengths[:, None] + 1)
 
+    # Pre-gather the extended-target log-probs ONCE: ys[b, t, s] =
+    # log_probs[b, t, ext[b, s]].  Gathering inside the scan instead would
+    # re-read the whole [B, V] frame from HBM on every one of the T
+    # iterations (fwd + bwd ~ 2*T*B*V*4 bytes per train step — measured as
+    # ~28% of the flagship step's device time before this change); the DP
+    # itself only ever touches [B, S].
+    ys = jnp.take_along_axis(
+        log_probs, jnp.broadcast_to(ext[:, None, :], (b, t_max, s_max)),
+        axis=2,
+    )  # [B, T, S]
+
     # alpha_0: only s=0 (blank) and s=1 (first label) are reachable
-    lp0 = jnp.take_along_axis(log_probs[:, 0, :], ext, axis=1)
-    alpha0 = jnp.where(s_idx <= 1, lp0, LOG_EPSILON)
+    alpha0 = jnp.where(s_idx <= 1, ys[:, 0], LOG_EPSILON)
     alpha0 = jnp.where(s_valid, alpha0, LOG_EPSILON)
 
     def step(alpha, inputs):
-        lp_t, t = inputs  # lp_t: [B, V]
+        ys_t, t = inputs  # ys_t: [B, S]
         prev1 = jnp.pad(
             alpha, ((0, 0), (1, 0)), constant_values=LOG_EPSILON
         )[:, :s_max]
@@ -75,16 +85,15 @@ def _ctc_forward(logits, logit_lengths, targets, target_lengths, blank_id):
         summed = m + jnp.log(
             jnp.sum(jnp.exp(stacked - m[None]), axis=0)
         )
-        lp_ext = jnp.take_along_axis(lp_t, ext, axis=1)
-        new_alpha = summed + lp_ext
+        new_alpha = summed + ys_t
         new_alpha = jnp.where(s_valid, new_alpha, LOG_EPSILON)
         # freeze rows whose sequence already ended (t >= logit_length)
         active = (t < logit_lengths)[:, None]
         return jnp.where(active, new_alpha, alpha), alpha
 
-    lp_seq = jnp.moveaxis(log_probs[:, 1:, :], 1, 0)  # [T-1, B, V]
+    ys_seq = jnp.moveaxis(ys[:, 1:, :], 1, 0)  # [T-1, B, S]
     ts = jnp.arange(1, t_max)
-    alpha_final, alpha_hist = lax.scan(step, alpha0, (lp_seq, ts))
+    alpha_final, alpha_hist = lax.scan(step, alpha0, (ys_seq, ts))
     # scan ys collect the PRE-step carry: alpha_hist[k] = alpha at time k
     # (k = 0..T-2); append the final carry for t = T-1
     alphas = jnp.concatenate([alpha_hist, alpha_final[None]], axis=0)
@@ -97,7 +106,7 @@ def _ctc_forward(logits, logit_lengths, targets, target_lengths, blank_id):
     a_prev = jnp.where(target_lengths > 0, a_prev, LOG_EPSILON)
     m = jnp.maximum(a_last, a_prev)
     total = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
-    aux = (log_probs, ext, can_skip, s_idx, s_valid,
+    aux = (log_probs, ys, ext, can_skip, s_idx, s_valid,
            logit_lengths, target_lengths, total)
     return -total, alphas, aux
 
@@ -109,7 +118,7 @@ def _ctc_backward(alphas, aux, g):
     and sums allowed continuations.  dL/dlp[t, v] = -sum_{s: ext_s=v} gamma;
     through log_softmax: d logits = (softmax * 1{t<len} - scatter(gamma)).
     """
-    (log_probs, ext, can_skip, s_idx, s_valid,
+    (log_probs, ys, ext, can_skip, s_idx, s_valid,
      logit_lengths, target_lengths, total) = aux
     t_max = log_probs.shape[1]
     b, s_max = ext.shape
@@ -129,8 +138,8 @@ def _ctc_backward(alphas, aux, g):
     )
 
     def step(beta_next, inputs):
-        lp_tp1, t = inputs  # lp at time t+1; computing beta_t
-        w = jnp.take_along_axis(lp_tp1, ext, axis=1) + beta_next  # [B, S]
+        ys_tp1, t = inputs  # pre-gathered lp at time t+1; computing beta_t
+        w = ys_tp1 + beta_next  # [B, S]
         w = jnp.where(s_valid, w, LOG_EPSILON)
         stay = w
         adv1 = jnp.pad(w, ((0, 0), (0, 1)), constant_values=LOG_EPSILON)[:, 1:]
@@ -146,10 +155,10 @@ def _ctc_backward(alphas, aux, g):
         beta_t = jnp.where(use_terminal, terminal, beta_t)
         return beta_t, beta_t
 
-    lp_seq = jnp.moveaxis(log_probs[:, 1:, :], 1, 0)  # lp at t = 1..T-1
+    ys_seq = jnp.moveaxis(ys[:, 1:, :], 1, 0)  # ys at t = 1..T-1
     ts = jnp.arange(t_max - 1)
     beta_T = terminal  # carry for t = T-1
-    _, betas_rev = lax.scan(step, beta_T, (lp_seq[::-1], ts[::-1]))
+    _, betas_rev = lax.scan(step, beta_T, (ys_seq[::-1], ts[::-1]))
     # betas_rev[k] = beta at t = T-2-k; assemble beta_t for t = 0..T-1
     betas = jnp.concatenate(
         [betas_rev[::-1], terminal[None]], axis=0
