@@ -74,14 +74,28 @@ def flash_attention_enabled() -> bool:
     return default_platform() == "tpu"
 
 
+def flash_attention_min_len() -> int:
+    """Minimum sequence length for routing through the Pallas kernel
+    (default 384).  Measured on the profiler's DEVICE lane — host
+    wall-clock through this environment's relayed backend over-reports
+    and even inverted the comparison — dense XLA attention wins below the
+    crossover and flash wins above it (fwd+bwd, B=64, H=8, D=64):
+
+        T=128  dense 3.5x faster   (flash grid overhead dominates)
+        T=256  dense 1.3x faster
+        T=512  flash 1.6x faster
+        T=1024 flash 2.2x faster (B=16)
+
+    384 splits the measured crossover.  Flash also keeps O(T) attention
+    memory, so long-sequence training routes through it regardless of
+    speed parity.  Override with OPENASR_FLASH_MIN_LEN (0 = always
+    flash)."""
+    return int(os.environ.get("OPENASR_FLASH_MIN_LEN", "384"))
+
+
 def flash_attention_max_len() -> int:
-    """Optional length ceiling for routing through the Pallas kernel
-    (0 = no ceiling, the default).  Measured end-to-end on the flagship
-    train step (the only reliable comparison on this hardware — op-level
-    microbenchmarks are swamped by dispatch latency), the kernel wins at
-    every sequence length tried: +44% at T=128 frames (20.7k vs 14.4k
-    utts/sec/chip) and +15-28% at T=512, so the default stays ungated;
-    OPENASR_FLASH_MAX_LEN remains available as an operator escape hatch."""
+    """Optional length ceiling for the Pallas route (0 = none); an
+    operator escape hatch above flash_attention_min_len."""
     return int(os.environ.get("OPENASR_FLASH_MAX_LEN", "0"))
 
 

@@ -134,14 +134,19 @@ class MultiHeadAttention(nn.Module):
             flash_attention,
             flash_attention_enabled,
             flash_attention_max_len,
+            flash_attention_min_len,
         )
 
         q = self.q_proj(inputs_q)
         k = self.k_proj(inputs_kv)
         v = self.v_proj(inputs_kv)
         structured = bias is None and (kv_lengths is not None or causal)
+        seq_len = max(q.shape[1], k.shape[1])
         max_len = flash_attention_max_len()
-        within = max_len <= 0 or max(q.shape[1], k.shape[1]) <= max_len
+        within = (
+            seq_len >= flash_attention_min_len()
+            and (max_len <= 0 or seq_len <= max_len)
+        )
         if structured and within and flash_attention_enabled():
             dropping = self.dropout_rate > 0.0 and not deterministic
             seed = None

@@ -6,11 +6,17 @@ tiny; the TPU path is exercised by bench.py and the driver's compile checks.
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# the routing tests below force the Pallas path on tiny shapes; disable
+# the measured min-length gate (production default routes short sequences
+# to dense XLA attention)
+os.environ["OPENASR_FLASH_MIN_LEN"] = "0"
 
 from openasr_tpu.kernels import set_flash_attention
 from openasr_tpu.kernels.flash_attention import (
@@ -291,3 +297,26 @@ def test_zero_valid_keys_row_is_safe():
     )(q)
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.max(jnp.abs(g[1]))) == 0.0
+
+
+def test_min_len_gate_routes_short_to_dense():
+    """With the measured default gate, short sequences use the dense path
+    even when flash is enabled (device-lane measurement: dense is 3.5x
+    faster at T=128 fwd+bwd); long sequences use the kernel."""
+    from openasr_tpu.kernels import (
+        flash_attention_max_len,
+        flash_attention_min_len,
+    )
+
+    old = os.environ.pop("OPENASR_FLASH_MIN_LEN", None)
+    try:
+        assert flash_attention_min_len() == 384  # measured default
+        assert flash_attention_max_len() == 0
+        os.environ["OPENASR_FLASH_MIN_LEN"] = "128"
+        assert flash_attention_min_len() == 128
+    finally:
+        if old is not None:
+            os.environ["OPENASR_FLASH_MIN_LEN"] = old
+        else:
+            os.environ.pop("OPENASR_FLASH_MIN_LEN", None)
+        os.environ["OPENASR_FLASH_MIN_LEN"] = "0"  # module-level test env
