@@ -128,7 +128,15 @@ class Solver:
 
         opt_type = config.get("optimtype", "adam")
         if opt_type == "adam":
-            opt = optax.adam(lr_fn, b1=0.9, b2=0.999, eps=1e-8)
+            # training.adam_mu_dtype: bfloat16 halves the first-moment
+            # state and its read/write traffic in the (bandwidth-bound)
+            # optimizer update; off by default to keep exact reference
+            # update semantics
+            mu_dtype = config.get("adam_mu_dtype")
+            opt = optax.adam(
+                lr_fn, b1=0.9, b2=0.999, eps=1e-8,
+                mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
+            )
         elif opt_type == "sgd":
             opt = optax.sgd(lr_fn, momentum=0.9)
         else:
