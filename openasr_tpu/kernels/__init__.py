@@ -81,12 +81,13 @@ def flash_attention_min_len() -> int:
     and even inverted the comparison — dense XLA attention wins below the
     crossover and flash wins above it (fwd+bwd, B=64, H=8, D=64):
 
-        T=128  dense 3.5x faster   (flash grid overhead dominates)
-        T=256  dense 1.3x faster
-        T=512  flash 1.6x faster
-        T=1024 flash 2.2x faster (B=16)
+        T=128  dense 2.1x faster   (per-program overhead still dominates)
+        T=256  dense 1.1x faster
+        T=512  flash 1.7x faster
+        T=1024 flash 2.4x faster (B=16)
 
-    384 splits the measured crossover.  Flash also keeps O(T) attention
+    (numbers with the all-heads-per-program kernels; 384 splits the
+    measured crossover).  Flash also keeps O(T) attention
     memory, so long-sequence training routes through it regardless of
     speed parity.  Override with OPENASR_FLASH_MIN_LEN (0 = always
     flash)."""

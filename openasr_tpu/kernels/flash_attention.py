@@ -45,7 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1.0e30
 
-DEFAULT_BLOCK_Q = 256
+# With all heads batched into one grid program, the per-head [block_q,
+# block_k] f32 temporaries of the unrolled head loop coexist in scoped
+# VMEM; block_q 128 keeps 8 heads under the 16 MB budget.
+DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 512
 
 
@@ -137,32 +140,37 @@ def _block_keep(seed_ref, bh, qb, kb, block_q, block_k, shape, dropout_rate):
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel: grid (B, H, Qblocks, Kblocks), k innermost
+# Forward kernel: grid (B, Qblocks, Kblocks), k innermost, ALL HEADS per
+# program.  The per-grid-program fixed cost (~1 us on this hardware)
+# dominated head-sized tiles — batching the H loop into one program cuts
+# program count by H and amortizes it (device-measured; see
+# flash_attention_min_len).
 # ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(
     seed_ref,   # SMEM [1] uint32 (ignored when dropout_rate == 0)
-    q_ref,      # [1, 1, block_q, D]
-    k_ref,      # [1, 1, block_k, D]
-    v_ref,      # [1, 1, block_k, D]
+    q_ref,      # [1, H, block_q, D]
+    k_ref,      # [1, H, block_k, D]
+    v_ref,      # [1, H, block_k, D]
     bias_ref,   # [1, 1, block_k]
-    o_ref,      # [1, 1, block_q, D]
-    lse_ref,    # [1, 1, block_q, 1]
-    m_s,        # scratch [block_q, 1] f32
-    l_s,        # scratch [block_q, 1] f32
-    acc_s,      # scratch [block_q, D] f32
+    o_ref,      # [1, H, block_q, D]
+    lse_ref,    # [1, H, block_q, 1]
+    m_s,        # scratch [H, block_q, 1] f32
+    l_s,        # scratch [H, block_q, 1] f32
+    acc_s,      # scratch [H, block_q, D] f32
     *,
     sm_scale: float,
     causal: bool,
     block_q: int,
     block_k: int,
     dropout_rate: float,
+    nheads: int,
 ):
-    qb = pl.program_id(2)
-    kb = pl.program_id(3)
-    num_kb = pl.num_programs(3)
-    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+    b_idx = pl.program_id(0)
 
     @pl.when(kb == 0)
     def _init():
@@ -175,49 +183,56 @@ def _fwd_kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale  # [block_q, block_k] fp32
-        s = s + bias_ref[0, 0][None, :]
-        if causal:
-            s = _causal_mask(s, qb, kb, block_q, block_k)
+        bias_row = bias_ref[0, 0][None, :]
+        for h in range(nheads):
+            q = q_ref[0, h]
+            k = k_ref[0, h]
+            v = v_ref[0, h]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # [block_q, block_k] fp32
+            s = s + bias_row
+            if causal:
+                s = _causal_mask(s, qb, kb, block_q, block_k)
 
-        m_prev = m_s[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        # guard rows with NO valid key so far: s == m_new == NEG_INF would
-        # give exp(0) = 1 per masked entry and corrupt l/acc (then the
-        # has_any finalize test).  Real masked entries underflow to 0 once
-        # any valid key raised m_new.
-        p = jnp.where(s > 0.5 * NEG_INF, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        m_s[:] = m_new
-        # dropout hits the NORMALIZED weights, so l (the softmax denominator)
-        # accumulates the undropped p while acc gets the dropped+rescaled one.
-        l_s[:] = l_s[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        if dropout_rate > 0.0:
-            keep = _block_keep(
-                seed_ref, bh, qb, kb, block_q, block_k, p.shape, dropout_rate
+            m_prev = m_s[h]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            # guard rows with NO valid key so far: s == m_new == NEG_INF
+            # would give exp(0) = 1 per masked entry and corrupt l/acc
+            # (then the has_any finalize test).  Real masked entries
+            # underflow to 0 once any valid key raised m_new.
+            p = jnp.where(s > 0.5 * NEG_INF, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            m_s[h] = m_new
+            # dropout hits the NORMALIZED weights, so l (the softmax
+            # denominator) accumulates the undropped p while acc gets the
+            # dropped+rescaled one.
+            l_s[h] = l_s[h] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            if dropout_rate > 0.0:
+                keep = _block_keep(
+                    seed_ref, b_idx * nheads + h, qb, kb, block_q, block_k,
+                    p.shape, dropout_rate,
+                )
+                p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
+            acc_s[h] = acc_s[h] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            p = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
-        acc_s[:] = acc_s[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
 
     @pl.when(kb == num_kb - 1)
     def _finalize():
-        l_f = l_s[:]
-        m_f = m_s[:]
-        # fully-masked rows (all keys padded): zeros out, lse=+inf so the
-        # backward recompute yields p == 0 for them.
-        has_any = l_f > 0.0
-        safe_l = jnp.where(has_any, l_f, 1.0)
-        o_ref[0, 0] = (acc_s[:] / safe_l * has_any).astype(o_ref.dtype)
-        lse_ref[0, 0] = jnp.where(has_any, m_f + jnp.log(safe_l), -NEG_INF)
+        for h in range(nheads):
+            l_f = l_s[h]
+            m_f = m_s[h]
+            # fully-masked rows (all keys padded): zeros out, lse=+inf so
+            # the backward recompute yields p == 0 for them.
+            has_any = l_f > 0.0
+            safe_l = jnp.where(has_any, l_f, 1.0)
+            o_ref[0, h] = (acc_s[h] / safe_l * has_any).astype(o_ref.dtype)
+            lse_ref[0, h] = jnp.where(
+                has_any, m_f + jnp.log(safe_l), -NEG_INF
+            )
 
 
 # ---------------------------------------------------------------------------
@@ -227,28 +242,29 @@ def _fwd_kernel(
 
 def _bwd_dkv_kernel(
     seed_ref,   # SMEM [1] uint32
-    q_ref,      # [1, 1, block_q, D]
-    k_ref,      # [1, 1, block_k, D]
-    v_ref,      # [1, 1, block_k, D]
+    q_ref,      # [1, H, block_q, D]
+    k_ref,      # [1, H, block_k, D]
+    v_ref,      # [1, H, block_k, D]
     bias_ref,   # [1, 1, block_k]
-    do_ref,     # [1, 1, block_q, D]
-    lse_ref,    # [1, 1, block_q, 1]
-    delta_ref,  # [1, 1, block_q, 1]
-    dk_ref,     # [1, 1, block_k, D]
-    dv_ref,     # [1, 1, block_k, D]
-    dk_s,       # scratch [block_k, D] f32
-    dv_s,       # scratch [block_k, D] f32
+    do_ref,     # [1, H, block_q, D]
+    lse_ref,    # [1, H, block_q, 1]
+    delta_ref,  # [1, H, block_q, 1]
+    dk_ref,     # [1, H, block_k, D]
+    dv_ref,     # [1, H, block_k, D]
+    dk_s,       # scratch [H, block_k, D] f32
+    dv_s,       # scratch [H, block_k, D] f32
     *,
     sm_scale: float,
     causal: bool,
     block_q: int,
     block_k: int,
     dropout_rate: float,
+    nheads: int,
 ):
-    kb = pl.program_id(2)
-    qb = pl.program_id(3)
-    num_qb = pl.num_programs(3)
-    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    kb = pl.program_id(1)
+    qb = pl.program_id(2)
+    num_qb = pl.num_programs(2)
+    b_idx = pl.program_id(0)
 
     @pl.when(qb == 0)
     def _init():
@@ -259,76 +275,83 @@ def _bwd_dkv_kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0]
-        delta = delta_ref[0, 0]
+        bias_row = bias_ref[0, 0][None, :]
+        for h in range(nheads):
+            q = q_ref[0, h]
+            k = k_ref[0, h]
+            v = v_ref[0, h]
+            do = do_ref[0, h]
+            lse = lse_ref[0, h]
+            delta = delta_ref[0, h]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale + bias_ref[0, 0][None, :]
-        if causal:
-            s = _causal_mask(s, qb, kb, block_q, block_k)
-        p = jnp.exp(s - lse)  # [block_q, block_k]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale + bias_row
+            if causal:
+                s = _causal_mask(s, qb, kb, block_q, block_k)
+            p = jnp.exp(s - lse)  # [block_q, block_k]
 
-        # with O = (P o D) V (D = keep/(1-rate)):
-        #   dV = (P o D)^T dO;   dP = (dO V^T) o D;
-        #   dS = P o (dP - delta), delta = rowsum(dO o O) unchanged.
-        if dropout_rate > 0.0:
-            keep = _block_keep(
-                seed_ref, bh, qb, kb, block_q, block_k, p.shape, dropout_rate
+            # with O = (P o D) V (D = keep/(1-rate)):
+            #   dV = (P o D)^T dO;   dP = (dO V^T) o D;
+            #   dS = P o (dP - delta), delta = rowsum(dO o O) unchanged.
+            if dropout_rate > 0.0:
+                keep = _block_keep(
+                    seed_ref, b_idx * nheads + h, qb, kb, block_q,
+                    block_k, p.shape, dropout_rate,
+                )
+                p_drop = jnp.where(
+                    keep, p * (1.0 / (1.0 - dropout_rate)), 0.0
+                )
+            else:
+                p_drop = p
+
+            dv_s[h] = dv_s[h] + jax.lax.dot_general(
+                p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            p_drop = jnp.where(keep, p * (1.0 / (1.0 - dropout_rate)), 0.0)
-        else:
-            p_drop = p
-
-        dv_s[:] = dv_s[:] + jax.lax.dot_general(
-            p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if dropout_rate > 0.0:
-            dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
-        ds = p * (dp - delta) * sm_scale
-        dk_s[:] = dk_s[:] + jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if dropout_rate > 0.0:
+                dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
+            ds = p * (dp - delta) * sm_scale
+            dk_s[h] = dk_s[h] + jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(qb == num_qb - 1)
     def _finalize():
-        dk_ref[0, 0] = dk_s[:].astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_s[:].astype(dv_ref.dtype)
+        for h in range(nheads):
+            dk_ref[0, h] = dk_s[h].astype(dk_ref.dtype)
+            dv_ref[0, h] = dv_s[h].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(
     seed_ref,   # SMEM [1] uint32
-    q_ref,      # [1, 1, block_q, D]
-    k_ref,      # [1, 1, block_k, D]
-    v_ref,      # [1, 1, block_k, D]
+    q_ref,      # [1, H, block_q, D]
+    k_ref,      # [1, H, block_k, D]
+    v_ref,      # [1, H, block_k, D]
     bias_ref,   # [1, 1, block_k]
-    do_ref,     # [1, 1, block_q, D]
-    lse_ref,    # [1, 1, block_q, 1]
-    delta_ref,  # [1, 1, block_q, 1]
-    dq_ref,     # [1, 1, block_q, D]
-    dq_s,       # scratch [block_q, D] f32
+    do_ref,     # [1, H, block_q, D]
+    lse_ref,    # [1, H, block_q, 1]
+    delta_ref,  # [1, H, block_q, 1]
+    dq_ref,     # [1, H, block_q, D]
+    dq_s,       # scratch [H, block_q, D] f32
     *,
     sm_scale: float,
     causal: bool,
     block_q: int,
     block_k: int,
     dropout_rate: float,
+    nheads: int,
 ):
-    qb = pl.program_id(2)
-    kb = pl.program_id(3)
-    num_kb = pl.num_programs(3)
-    bh = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    qb = pl.program_id(1)
+    kb = pl.program_id(2)
+    num_kb = pl.num_programs(2)
+    b_idx = pl.program_id(0)
 
     @pl.when(kb == 0)
     def _init():
@@ -338,38 +361,42 @@ def _bwd_dq_kernel(
 
     @pl.when(live)
     def _compute():
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        lse = lse_ref[0, 0]
-        delta = delta_ref[0, 0]
+        bias_row = bias_ref[0, 0][None, :]
+        for h in range(nheads):
+            q = q_ref[0, h]
+            k = k_ref[0, h]
+            v = v_ref[0, h]
+            do = do_ref[0, h]
+            lse = lse_ref[0, h]
+            delta = delta_ref[0, h]
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale + bias_ref[0, 0][None, :]
-        if causal:
-            s = _causal_mask(s, qb, kb, block_q, block_k)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if dropout_rate > 0.0:
-            keep = _block_keep(
-                seed_ref, bh, qb, kb, block_q, block_k, p.shape, dropout_rate
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale + bias_row
+            if causal:
+                s = _causal_mask(s, qb, kb, block_q, block_k)
+            p = jnp.exp(s - lse)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
-        ds = p * (dp - delta) * sm_scale
-        dq_s[:] = dq_s[:] + jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            if dropout_rate > 0.0:
+                keep = _block_keep(
+                    seed_ref, b_idx * nheads + h, qb, kb, block_q,
+                    block_k, p.shape, dropout_rate,
+                )
+                dp = jnp.where(keep, dp * (1.0 / (1.0 - dropout_rate)), 0.0)
+            ds = p * (dp - delta) * sm_scale
+            dq_s[h] = dq_s[h] + jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(kb == num_kb - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_s[:].astype(dq_ref.dtype)
+        for h in range(nheads):
+            dq_ref[0, h] = dq_s[h].astype(dq_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -384,33 +411,33 @@ def _fwd_padded(q, k, v, bias, seed, causal, sm_scale, block_q, block_k,
                 dropout_rate, interpret):
     b, h, tq, d = q.shape
     tk = k.shape[2]
-    grid = (b, h, tq // block_q, tk // block_k)
+    grid = (b, tq // block_q, tk // block_k)
     kernel = functools.partial(
         _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k, dropout_rate=dropout_rate,
+        block_k=block_k, dropout_rate=dropout_rate, nheads=h,
     )
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             _SEED_SPEC,
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda i, j, l, m: (i, 0, m)),
+            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda i, l, m: (i, 0, m)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
+            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, l, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, tq, 1), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((h, block_q, 1), jnp.float32),
+            pltpu.VMEM((h, block_q, 1), jnp.float32),
+            pltpu.VMEM((h, block_q, d), jnp.float32),
         ],
         interpret=interpret,
     )(seed, q, k, v, bias)
@@ -429,58 +456,58 @@ def _bwd_padded(
 
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k, dropout_rate=dropout_rate,
+        block_k=block_k, dropout_rate=dropout_rate, nheads=h,
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(b, h, tk // block_k, tq // block_q),
+        grid=(b, tk // block_k, tq // block_q),
         in_specs=[
             _SEED_SPEC,
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, m, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda i, j, l, m: (i, 0, l)),
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, m, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, m, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, m, 0)),
+            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, m, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda i, l, m: (i, 0, l)),
+            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, m, 0)),
+            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, m, 0)),
+            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, m, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((h, block_k, d), jnp.float32),
+            pltpu.VMEM((h, block_k, d), jnp.float32),
         ],
         interpret=interpret,
     )(seed, q, k, v, bias, do, lse, delta)
 
     dq_kernel = functools.partial(
         _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k, dropout_rate=dropout_rate,
+        block_k=block_k, dropout_rate=dropout_rate, nheads=h,
     )
     dq = pl.pallas_call(
         dq_kernel,
-        grid=(b, h, tq // block_q, tk // block_k),
+        grid=(b, tq // block_q, tk // block_k),
         in_specs=[
             _SEED_SPEC,
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda i, j, l, m: (i, j, m, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda i, j, l, m: (i, 0, m)),
-            pl.BlockSpec((1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, l, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda i, j, l, m: (i, j, l, 0)),
+            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
+            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda i, l, m: (i, 0, m)),
+            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
+            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, l, 0)),
+            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, l, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), lambda i, j, l, m: (i, j, l, 0)
+            (1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((h, block_q, d), jnp.float32)],
         interpret=interpret,
     )(seed, q, k, v, bias, do, lse, delta)
     return dq, dk, dv
