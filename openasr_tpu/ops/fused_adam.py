@@ -1,0 +1,117 @@
+"""Fused global-norm-clip + Adam as a single optax transform.
+
+The stock `optax.chain(clip_by_global_norm, adam)` materializes three full
+gradient-sized trees per step (clipped grads, raw updates, lr-scaled
+updates) on top of the four state/param trees Adam must touch — on a 60M
+param f32 model that is ~2.4 GB of HBM traffic versus the ~1.7 GB the math
+requires, and it shows up as dozens of small leaf-wise fusions in the
+device profile.  This transform computes the clip scale with ONE pass over
+the gradients and then emits, per leaf, a single fused expression
+(scale, first/second moment update, bias correction, lr) whose output feeds
+`optax.apply_updates` directly — XLA fuses the whole per-leaf chain,
+including the final parameter add, into one loop fusion.
+
+Semantics match `optax.chain(optax.clip_by_global_norm(max_norm),
+optax.adam(lr_fn, b1, b2, eps, mu_dtype=...))` exactly (same clip trigger
+rule, same bias correction, same moment-dtype cast points); a unit test
+asserts parity against the optax chain.
+
+Replaces the reference's `clip_grad_norm_` + `torch.optim.Adam` pair
+(src/solvers/__init__.py step; src/utils/optim.py).
+
+State layout intentionally mirrors optax: `FusedClipAdamState(count, mu,
+nu)` where mu/nu are trees shaped like the params — so checkpoint packing
+(`Solver.package`) and the generic `count` introspection in tests keep
+working, and the moments inherit parameter shardings under a mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class FusedClipAdamState(NamedTuple):
+    count: jnp.ndarray  # int32 scalar, shared by bias correction and lr
+    mu: Any
+    nu: Any
+
+
+def fused_clip_adam(
+    lr_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    max_norm: float = 0.0,
+    mu_dtype: Optional[jnp.dtype] = None,
+    nu_dtype: Optional[jnp.dtype] = None,
+) -> optax.GradientTransformation:
+    """One-pass clip-by-global-norm + Adam + (-lr) scaling.
+
+    max_norm <= 0 disables clipping (matches the solver's grad_max_norm
+    convention).  mu_dtype / nu_dtype store the moments in a narrower dtype
+    (bf16 halves the optimizer's HBM traffic); the moment *computation* is
+    always f32, only the stored state is cast — the same contract as
+    optax.adam's mu_dtype.
+    """
+    mu_dtype = jnp.dtype(mu_dtype) if mu_dtype is not None else None
+    nu_dtype = jnp.dtype(nu_dtype) if nu_dtype is not None else None
+
+    def init_fn(params):
+        def zeros(dtype):
+            return jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=dtype or p.dtype), params
+            )
+        return FusedClipAdamState(
+            count=jnp.zeros([], jnp.int32), mu=zeros(mu_dtype),
+            nu=zeros(nu_dtype),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count_inc = state.count + 1
+        # --- clip scale: one reduction pass over the gradient tree.
+        if max_norm > 0:
+            leaves = jax.tree_util.tree_leaves(updates)
+            g2 = sum(
+                jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves
+            )
+            g_norm = jnp.sqrt(g2)
+            # optax.clip_by_global_norm: scale only when norm >= max_norm
+            scale = jnp.where(
+                g_norm < max_norm, 1.0, max_norm / g_norm
+            ).astype(jnp.float32)
+        else:
+            scale = jnp.float32(1.0)
+        # bias corrections and lr are scalars computed once
+        bc1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+        # optax.adam applies -lr(count) with the PRE-increment count (the
+        # schedule transform keeps its own counter that starts at 0)
+        step_size = (-1.0 * lr_fn(state.count)).astype(jnp.float32)
+
+        def leaf(g, mu, nu):
+            gf = g.astype(jnp.float32) * scale
+            mu_f = b1 * mu.astype(jnp.float32) + (1.0 - b1) * gf
+            nu_f = b2 * nu.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
+            u = step_size * (mu_f / bc1) / (jnp.sqrt(nu_f / bc2) + eps)
+            return (
+                u.astype(g.dtype),
+                mu_f.astype(mu_dtype) if mu_dtype else mu_f,
+                nu_f.astype(nu_dtype) if nu_dtype else nu_f,
+            )
+
+        out = jax.tree_util.tree_map(leaf, updates, state.mu, state.nu)
+        treedef = jax.tree_util.tree_structure(updates)
+        new_updates = jax.tree_util.tree_map(
+            lambda _, o: o[0], updates, out
+        )
+        new_mu = jax.tree_util.tree_map(lambda _, o: o[1], updates, out)
+        new_nu = jax.tree_util.tree_map(lambda _, o: o[2], updates, out)
+        del treedef
+        return new_updates, FusedClipAdamState(count_inc, new_mu, new_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)

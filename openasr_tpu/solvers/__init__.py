@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from openasr_tpu.ops.fused_adam import fused_clip_adam
 from openasr_tpu.ops.schedules import BobSchedule, get_schedule
 from openasr_tpu.parallel import make_mesh, shard_batch
 from openasr_tpu.parallel.mesh import param_shardings, replicated
@@ -127,12 +128,37 @@ class Solver:
             return self.init_lr * decay(count + 1)
 
         opt_type = config.get("optimtype", "adam")
+        gate = getattr(self.model, "freeze_gate", None)
+        # training.adam_mu_dtype / adam_nu_dtype: bfloat16 halves the
+        # corresponding moment's state and read/write traffic in the
+        # (bandwidth-bound) optimizer update; off by default to keep exact
+        # reference update semantics
+        mu_dtype = config.get("adam_mu_dtype")
+        nu_dtype = config.get("adam_nu_dtype")
+        if (
+            opt_type == "adam"
+            and not gate
+            and config.get("fused_adam", True)
+        ):
+            # single fused clip+Adam pass (ops/fused_adam.py) — exact
+            # optax-chain semantics, a fraction of the HBM traffic
+            tx = fused_clip_adam(
+                lr_fn, b1=0.9, b2=0.999, eps=1e-8,
+                max_norm=float(self.grad_max_norm),
+                mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+            )
+            frozen = getattr(self.model, "frozen_components", ())
+            if frozen:
+                def mask(params):
+                    return {
+                        k: jax.tree_util.tree_map(
+                            lambda _: k not in frozen, v
+                        )
+                        for k, v in params.items()
+                    }
+                tx = optax.masked(tx, mask)
+            return tx
         if opt_type == "adam":
-            # training.adam_mu_dtype: bfloat16 halves the first-moment
-            # state and its read/write traffic in the (bandwidth-bound)
-            # optimizer update; off by default to keep exact reference
-            # update semantics
-            mu_dtype = config.get("adam_mu_dtype")
             opt = optax.adam(
                 lr_fn, b1=0.9, b2=0.999, eps=1e-8,
                 mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
@@ -142,7 +168,6 @@ class Solver:
         else:
             raise ValueError(f"Unknown optimizer {opt_type}")
         chain = []
-        gate = getattr(self.model, "freeze_gate", None)
         if gate:
             components, n_updates = gate
             chain.append(freeze_until(int(n_updates), tuple(components)))
