@@ -1,0 +1,225 @@
+"""Profile the flagship train step: HLO dot inventory + device-lane op times.
+
+Usage:
+    python tools/profile_step.py [--hlo] [--trace] [--fast]
+
+--hlo    lower+compile the bench train step and summarize every dot/conv in
+         the optimized HLO (dtype, shape, est. GFLOP) — catches f32 matmuls
+         that silently quarter MXU throughput.
+--trace  run 5 profiled steps and aggregate device-lane op durations by
+         fusion name — the honest per-op cost breakdown.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/openasr_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def build_step():
+    import jax
+    import jax.numpy as jnp
+    import bench
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.parallel import make_mesh, shard_batch
+    from openasr_tpu.solvers import array_fields, get_solver_class
+
+    cfg = Config(bench.flagship_cfg())
+    model = get_model_class(cfg.type).create_model(cfg, dtype=jnp.bfloat16)
+    mesh = make_mesh(jax.devices()[:1], model=1)
+    training = Config({
+        "num_epoch": 1, "exp_dir": "/tmp/openasr_bench",
+        "print_inteval": 10**9, "accumulate_grad_batch": 1,
+        "init_lr": 1.0, "optimtype": "adam", "grad_max_norm": 50.0,
+        "label_smooth": 0.1, "lambda_ctc": 1.0, "lambda_qua": 1.0,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 10000,
+                         "d_model": bench.D_MODEL},
+    })
+    solver = get_solver_class(cfg.type)(model, training, [], [], mesh=mesh)
+    batch = shard_batch(array_fields(bench.make_batch()), mesh)
+    rng = jax.random.PRNGKey(0)
+    return solver, batch, rng
+
+
+DOT_RE = re.compile(
+    r"^\s*%?[\w.\-]+ = (\w+)\[([\d,]*)\][^=]*?"
+    r"(dot|convolution)\(", re.M)
+
+
+def hlo_report():
+    import jax
+    solver, batch, rng = build_step()
+    params, opt_state = solver.model.params, solver.opt_state
+    fn = solver._train_step
+    # unwrap to the jitted callable
+    lowered = fn.lower(params, opt_state, batch, rng)
+    compiled = lowered.compile()
+    txt = compiled.as_text()
+    with open("/tmp/flagship_step.hlo", "w") as f:
+        f.write(txt)
+    print(f"optimized HLO: {len(txt)} bytes -> /tmp/flagship_step.hlo")
+
+    # Walk HLO lines: find dot/convolution ops, record output dtype+shape and
+    # operand dtypes from the full line.
+    dots = collections.Counter()
+    flops_by_dtype = collections.Counter()
+    for line in txt.splitlines():
+        m = re.match(r"\s*(?:ROOT )?%?[\w.\-]+ = (\w+)\[([\d,]*)\]", line)
+        if not m:
+            continue
+        if " dot(" not in line and " convolution(" not in line:
+            continue
+        out_dtype, out_shape = m.group(1), m.group(2)
+        op = "dot" if " dot(" in line else "conv"
+        # operand dtypes appear as dtype[shape] in the operand list
+        operands = re.findall(r"(\w+)\[[\d,]*\]", line.split("(", 1)[1])
+        key = (op, out_dtype, tuple(operands[:2]), out_shape)
+        dots[key] += 1
+    print("\n=== dot/conv inventory (op, out_dtype, operand_dtypes, out_shape) ===")
+    f32_count = 0
+    for key, n in sorted(dots.items()):
+        op, od, ods, shape = key
+        flag = ""
+        if any(d == "f32" for d in ods):
+            flag = "  <-- F32 OPERANDS"
+            f32_count += n
+        print(f"{n:3d}x {op} out={od}[{shape}] in={ods}{flag}")
+    print(f"\nf32-operand dot/conv count: {f32_count}")
+
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        print(f"\ncost_analysis: flops={ca.get('flops', 0)/1e9:.1f}G "
+              f"bytes={ca.get('bytes accessed', 0)/1e9:.2f}GB")
+    except Exception as e:
+        print(f"cost_analysis unavailable: {e}")
+
+
+def trace_report(n_steps=5):
+    import jax
+    solver, batch, rng = build_step()
+    state = {"p": solver.model.params, "o": solver.opt_state}
+
+    def step(i):
+        state["p"], state["o"], loss, _ = solver._train_step(
+            state["p"], state["o"], batch, jax.random.fold_in(rng, i))
+        return loss
+
+    jax.block_until_ready(step(0))
+    jax.block_until_ready(step(1))
+    logdir = tempfile.mkdtemp(prefix="openasr_prof_")
+    jax.profiler.start_trace(logdir)
+    out = None
+    for i in range(n_steps):
+        out = step(100 + i)
+    jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+    traces = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
+                       recursive=True)
+    with gzip.open(traces[0]) as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    device_pids = {
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in e.get("args", {}).get("name", "")
+    }
+    # Ops are duplicated across device lanes ("XLA Modules" + "XLA Ops"
+    # threads share a pid) — dedupe by (name, ts) so each hardware event
+    # counts once.
+    agg = collections.Counter()
+    counts = collections.Counter()
+    meta = {}
+    seen = set()
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name = e.get("name", "")
+        key = (name, e.get("ts"))
+        if key in seen:
+            continue
+        seen.add(key)
+        if name.startswith("jit_train_step"):
+            total += e["dur"]
+            continue
+        agg[name] += e["dur"]
+        counts[name] += 1
+        args = e.get("args") or {}
+        ln = args.get("long_name") or args.get("tf_op") or ""
+        if ln and name not in meta:
+            meta[name] = ln
+    # Join with the HLO dump (if present) to compute per-op byte traffic:
+    # bytes = output + operand shapes parsed from the instruction line.
+    hlo_defs = {}
+    hlo_path = "/tmp/flagship_step.hlo"
+    if os.path.exists(hlo_path):
+        for line in open(hlo_path):
+            m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = ", line)
+            if m:
+                hlo_defs[m.group(1)] = line.strip()
+    DTSIZE = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1,
+              "pred": 1, "f16": 2, "s64": 8, "u64": 8, "f64": 8}
+
+    def op_bytes(name):
+        line = hlo_defs.get(name)
+        if not line:
+            return None
+        total_b = 0
+        for dt, shape in re.findall(r"(\w+)\[([\d,]*)\]", line):
+            if dt not in DTSIZE:
+                continue
+            n = 1
+            for d in shape.split(","):
+                if d:
+                    n *= int(d)
+            total_b += n * DTSIZE[dt]
+        return total_b
+
+    print(f"\n=== device-lane per-op totals over {n_steps} steps "
+          f"(jit_train_step total {total/1e3/n_steps:.2f} ms/step) ===")
+    shown = 0.0
+    for name, us in agg.most_common(50):
+        ms = us / 1e3 / n_steps
+        nb = op_bytes(name)
+        if nb:
+            # ops are double-counted across two device lanes; the per-op ms
+            # below is the raw (2x) number — GB/s uses ms/2
+            bw = nb / 1e9 / (ms / 2 / 1e3)
+            traffic = f"{nb/1e6:7.1f}MB {bw:6.0f}GB/s"
+        else:
+            traffic = " " * 17
+        extra = meta.get(name, "")[:60]
+        print(f"{ms:8.3f} ms x{counts[name]//n_steps:<3d} {traffic} "
+              f"{name[:34]:<34s} {extra}")
+        shown += us
+    print(f"[shown {shown/1e3/n_steps:.2f} ms of {sum(agg.values())/1e3/n_steps:.2f} ms op-total]")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hlo", action="store_true")
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--fast", action="store_true")
+    args = ap.parse_args()
+    if args.fast:
+        os.environ["BENCH_FAST"] = "1"
+    if not (args.hlo or args.trace):
+        args.hlo = args.trace = True
+    if args.hlo:
+        hlo_report()
+    if args.trace:
+        trace_report()
