@@ -74,6 +74,18 @@ def flash_attention_enabled() -> bool:
     return default_platform() == "tpu"
 
 
+def flash_attention_forced() -> bool:
+    """True when flash was EXPLICITLY requested (runtime override or env
+    "1"), as opposed to platform-auto.  An explicit request bypasses the
+    min/max-length crossover routing in the attention layers — "force
+    flash" means flash, not "flash if the router agrees"."""
+    if _override is True:
+        return True
+    return os.environ.get(
+        "OPENASR_FLASH_ATTENTION", "auto"
+    ).lower() in ("1", "true", "on")
+
+
 def flash_attention_min_len() -> int:
     """Minimum sequence length for routing through the Pallas kernel
     (default 384).  Measured on the profiler's DEVICE lane — host

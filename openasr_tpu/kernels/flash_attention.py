@@ -598,13 +598,27 @@ def flash_attention(
     else:
         seed = jnp.zeros((1,), jnp.uint32)
 
+    # head dim: a full-dim block is always tiling-legal; keep native lane
+    # widths (64/32) instead of padding to 128 — halves/quarters HBM traffic
+    d_p = d if (d % 128 == 0 or d in (64, 32)) else max(_round_up(d, 128), 128)
+
+    # VMEM guard: the default 128x512 blocks are sized for h*d_p <= 512
+    # (e.g. 8 heads x 64 dim) — the all-heads-per-program design keeps
+    # [H, block, D] blocks and f32 scratch resident, so a larger head
+    # budget must shrink the k block (then the q block) proportionally or
+    # Mosaic fails compilation on the ~16 MB VMEM budget.
+    over = (h * d_p + 511) // 512
+    while over > 1 and block_k > 128:
+        block_k //= 2
+        over = (over + 1) // 2
+    while over > 1 and block_q > 32:
+        block_q //= 2
+        over = (over + 1) // 2
+
     block_q = min(block_q, _round_up(tq, 8))
     block_k = min(block_k, _round_up(tk, 128))
     tq_p = _round_up(tq, block_q)
     tk_p = _round_up(tk, block_k)
-    # head dim: a full-dim block is always tiling-legal; keep native lane
-    # widths (64/32) instead of padding to 128 — halves/quarters HBM traffic
-    d_p = d if (d % 128 == 0 or d in (64, 32)) else max(_round_up(d, 128), 128)
 
     # [B, T, H, D] -> [B, H, T, D], zero-pad T (and D if needed)
     def to_bhtd(x, t_pad):

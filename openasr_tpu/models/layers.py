@@ -133,6 +133,7 @@ class MultiHeadAttention(nn.Module):
         from openasr_tpu.kernels import (
             flash_attention,
             flash_attention_enabled,
+            flash_attention_forced,
             flash_attention_max_len,
             flash_attention_min_len,
         )
@@ -143,7 +144,9 @@ class MultiHeadAttention(nn.Module):
         structured = bias is None and (kv_lengths is not None or causal)
         seq_len = max(q.shape[1], k.shape[1])
         max_len = flash_attention_max_len()
-        within = (
+        # an explicit set_flash_attention(True) / OPENASR_FLASH_ATTENTION=1
+        # bypasses the measured dense/flash crossover routing
+        within = flash_attention_forced() or (
             seq_len >= flash_attention_min_len()
             and (max_len <= 0 or seq_len <= max_len)
         )

@@ -10,15 +10,17 @@ one artifact serves TPU and CPU hosts.
 This is capability beyond the reference (its serving story was "run
 infer.py"); it is the natural deployment form for an XLA program.
 
-Artifact layout (single pickle file):
-  {"meta": {"model_type", "beam_size", "max_decode_len", "input_dim",
-            "platforms", "buckets": [(B, T), ...]},
-   "exports": {(B, T): serialized_bytes}}
+Artifact layout: a single zip file (no pickle — loading an artifact must
+never execute code, serving artifacts travel between machines):
+  meta.json                  -- {"model_type", "beam_size", ...,
+                                 "buckets": [[B, T], ...]}
+  exports/{B}x{T}.stablehlo  -- raw jax.export serialized bytes per bucket
 """
 
 from __future__ import annotations
 
-import pickle
+import json
+import zipfile
 from typing import Sequence, Tuple
 
 import jax
@@ -76,43 +78,51 @@ def export_beam_decode(
         )
         exports[(int(b), int(t))] = exp.serialize()
 
-    with open(path, "wb") as f:
-        pickle.dump({
-            "meta": {
-                "model_type": getattr(model, "model_type", ""),
-                "kind": "ctc" if is_ctc else "beam",
-                "beam_size": int(beam_size),
-                "max_decode_len": int(max_decode_len),
-                "input_dim": input_dim,
-                "platforms": tuple(platforms),
-                "buckets": [(int(b), int(t)) for b, t in buckets],
-            },
-            "exports": exports,
-        }, f, protocol=4)
+    meta = {
+        "model_type": getattr(model, "model_type", ""),
+        "kind": "ctc" if is_ctc else "beam",
+        "beam_size": int(beam_size),
+        "max_decode_len": int(max_decode_len),
+        "input_dim": input_dim,
+        "platforms": list(platforms),
+        "buckets": [[int(b), int(t)] for b, t in buckets],
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=1))
+        for (b, t), data in exports.items():
+            zf.writestr(f"exports/{b}x{t}.stablehlo", data)
 
 
 class ExportedDecoder:
-    """Serving-side loader: picks the smallest bucket that fits, zero-pads
-    the batch into it, runs the AOT program, trims the result rows."""
+    """Serving-side loader: picks the fitting bucket with the least padded
+    compute, zero-pads the batch into it, runs the AOT program, trims the
+    result rows."""
 
     def __init__(self, path: str):
-        with open(path, "rb") as f:
-            blob = pickle.load(f)
-        self.meta = blob["meta"]
-        self._fns = {
-            bucket: jax_export.deserialize(data)
-            for bucket, data in blob["exports"].items()
-        }
+        with zipfile.ZipFile(path, "r") as zf:
+            self.meta = json.loads(zf.read("meta.json"))
+            self._fns = {}
+            for b, t in self.meta["buckets"]:
+                data = zf.read(f"exports/{b}x{t}.stablehlo")
+                self._fns[(int(b), int(t))] = jax_export.deserialize(data)
         self.buckets = sorted(self._fns)
 
     def _pick(self, b: int, t: int) -> Tuple[int, int]:
-        for bb, bt in self.buckets:
-            if bb >= b and bt >= t:
-                return bb, bt
-        raise ValueError(
-            f"no exported bucket fits batch={b} frames={t}; "
-            f"available: {self.buckets}"
-        )
+        # minimal padded area, not first-in-sorted-order: with buckets
+        # [(8, 4096), (16, 128)] a (8, 100) request must run the (16, 128)
+        # program, not pad 100 frames out to 4096
+        fitting = [
+            (bb * bt, bb, bt)
+            for bb, bt in self.buckets
+            if bb >= b and bt >= t
+        ]
+        if not fitting:
+            raise ValueError(
+                f"no exported bucket fits batch={b} frames={t}; "
+                f"available: {self.buckets}"
+            )
+        _, bb, bt = min(fitting)
+        return bb, bt
 
     def __call__(self, params, feats, lens):
         """feats [B, T, D] float32, lens [B] int32.
