@@ -86,6 +86,13 @@ class CIFMIXSolver(CIFCTCSolver):
         params = self.model.params
         paired_cycle = itertools.cycle(iter(self.tr_loader))
         tot_iters = len(self.acoustic_loader)
+        # reference: grads accumulate across `accumulate_grad_batch`
+        # (acoustic, paired) iteration pairs and the optimizer steps on the
+        # boundary — or at epoch end for the leftover remainder
+        # (src/solvers/cif.py:430-503: `n_accu_batch -= 1; if n_accu_batch
+        # == 0 or niter == tot_iter_num: ... optimizer.step()`)
+        accum = max(1, int(self.config.get("accumulate_grad_batch", 1)))
+        acc = None
         for niter, ac_batch in enumerate(iter(self.acoustic_loader), start=1):
             if getattr(self, "_stop_requested", False):
                 logger.warning(
@@ -95,7 +102,8 @@ class CIFMIXSolver(CIFCTCSolver):
                 break
             self._maybe_profile()
             paired = next(paired_cycle)
-            acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+            if acc is None:
+                acc = jax.tree_util.tree_map(jnp.zeros_like, params)
             base_rng = jax.random.fold_in(self.rng, self.step * 8191 + niter)
             for j, batch in enumerate((ac_batch, paired)):
                 arrays = shard_batch(array_fields(batch), self.mesh)
@@ -103,9 +111,13 @@ class CIFMIXSolver(CIFCTCSolver):
                     params, arrays, jax.random.fold_in(base_rng, j), acc
                 )
                 totals = self._totals_update(totals, losses)
-            params, self.opt_state = apply_step(params, self.opt_state, acc)
-            self.model.params = params
-            self.step += 1
+            if niter % accum == 0 or niter == tot_iters:
+                params, self.opt_state = apply_step(
+                    params, self.opt_state, acc
+                )
+                self.model.params = params
+                acc = None
+                self.step += 1
 
             if niter % self.print_inteval == 0:
                 self._totals_log(totals, timer, niter, tot_iters, "train")

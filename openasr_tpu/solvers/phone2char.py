@@ -10,6 +10,7 @@ import itertools
 import logging
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from openasr_tpu.parallel import shard_batch
@@ -92,6 +93,18 @@ class Phone2CharCTCGANSolver(Phone2CharCTCSolver):
         params = self.model.params
         paired_cycle = itertools.cycle(iter(self.tr_loader))
         text_cycle = itertools.cycle(iter(self.text_loader))
+        # reference: grads accumulate over `accumulate_grad_batch`
+        # iterations (each = supervised CTC + G pass + D pass) and the
+        # optimizer steps on the boundary or at epoch end
+        # (src/solvers/phone2char.py:272-316)
+        accum = max(1, int(self.config.get("accumulate_grad_batch", 1)))
+        grad_step = apply_step = None
+        if accum > 1:
+            if self._grad_accum is None:
+                self._grad_accum = self._build_accum_steps()
+            grad_step, apply_step = self._grad_accum
+        acc = None
+        tot_iters = len(self.phone_loader)
         for niter, phone_batch in enumerate(iter(self.phone_loader), 1):
             paired = next(paired_cycle)
             text = next(text_cycle)
@@ -102,11 +115,23 @@ class Phone2CharCTCGANSolver(Phone2CharCTCSolver):
             combined["unpaired_text_lengths"] = text["token_lengths"]
             arrays = shard_batch(combined, self.mesh)
             rng = jax.random.fold_in(self.rng, self.step * 8191 + niter)
-            params, self.opt_state, loss, losses = self._train_step(
-                params, self.opt_state, arrays, rng
-            )
-            self.model.params = params
-            self.step += 1
+            if accum > 1:
+                if acc is None:
+                    acc = jax.tree_util.tree_map(jnp.zeros_like, params)
+                acc, loss, losses = grad_step(params, arrays, rng, acc)
+                if niter % accum == 0 or niter == tot_iters:
+                    params, self.opt_state = apply_step(
+                        params, self.opt_state, acc
+                    )
+                    self.model.params = params
+                    acc = None
+                    self.step += 1
+            else:
+                params, self.opt_state, loss, losses = self._train_step(
+                    params, self.opt_state, arrays, rng
+                )
+                self.model.params = params
+                self.step += 1
             tot_main += float(losses["ctc_loss"])
             tot_norm += float(losses["n_tokens"])
             if niter % self.print_inteval == 0:
