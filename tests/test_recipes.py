@@ -2,8 +2,10 @@
 way a user would (the reference's *_test.yaml configs + train_cpu.sh were
 its de-facto integration tests, e.g. egs/hkust/train_cpu.sh).
 
-One representative corpus runs in the default suite; set
-OPENASR_RUN_ALL_RECIPES=1 to run every corpus's CPU path.
+Every corpus's CPU path runs in the default suite (the reference ships
+train_cpu.sh/infer_cpu.sh for each of these corpora); set
+OPENASR_RECIPES_FAST=1 to run only the representative hkust recipe when
+iterating locally.
 """
 
 import os
@@ -20,10 +22,11 @@ ALL_RECIPES = [
     ("aishell1", "train_cpu.sh", "infer_cpu.sh"),
     ("callhome_hkust", "train_cpu.sh", "infer_cpu.sh"),
     ("IPA2char", "train_cpu.sh", None),
+    ("wav2vec", "train_cpu.sh", "infer_cpu.sh"),
 ]
 
-RUN_ALL = os.environ.get("OPENASR_RUN_ALL_RECIPES") == "1"
-RECIPES = ALL_RECIPES if RUN_ALL else ALL_RECIPES[:1]
+FAST = os.environ.get("OPENASR_RECIPES_FAST") == "1"
+RECIPES = ALL_RECIPES[:1] if FAST else ALL_RECIPES
 
 
 def run_recipe(corpus, script, tmp_path, args=()):

@@ -28,13 +28,71 @@ CHARS = ["a", "b", "c", "d"]
 PHONES = ["p1", "p2", "p3", "p4"]
 
 
+def gen_wave_corpus(out: str, num_utts: int, seed: int) -> None:
+    """Raw-waveform variant for the wav2vec recipe: small PCM16 wavs whose
+    token identity is carried by per-segment tone frequency, plus
+    train_wav/dev_wav/test_wav.json wave manifests (feat = wav path,
+    feat_length = samples — the format egs/wav2vec/configs expects)."""
+    from openasr_tpu.data.audio import write_wav
+
+    rng = np.random.RandomState(seed)
+    rate = 16000
+    wav_dir = os.path.join(out, "wav")
+    os.makedirs(wav_dir, exist_ok=True)
+    open(os.path.join(out, "train_chars.txt"), "w").write(
+        "\n".join(CHARS) + "\n"
+    )
+    samples, text_lines = [], []
+    seg = 1200  # samples per token segment
+    for i in range(num_utts):
+        n_tok = rng.randint(2, 5)
+        toks = rng.randint(0, len(CHARS), size=n_tok)
+        n = seg * n_tok + rng.randint(0, seg // 2)
+        t_axis = np.arange(n) / rate
+        wave = 60.0 * rng.randn(n)
+        for j, tok in enumerate(toks):
+            f0 = 300.0 + 200.0 * tok
+            sl = slice(j * seg, (j + 1) * seg)
+            wave[sl] += 4000.0 * np.sin(2 * np.pi * f0 * t_axis[sl])
+        key = f"utt{i:03d}"
+        path = os.path.join(wav_dir, key + ".wav")
+        write_wav(path, rate, wave)
+        tokens = " ".join(CHARS[k] for k in toks)
+        samples.append({
+            "uttid": key, "feat": path, "feat_length": int(n),
+            "tokens": tokens, "token_length": int(n_tok),
+        })
+        text_lines.append(f"{key} {tokens}")
+
+    def dump(name, subset):
+        with open(os.path.join(out, name), "w") as f:
+            json.dump(subset, f)
+
+    n_small = max(num_utts // 2, 2)
+    dump("train_wav.json", samples)
+    dump("dev_wav.json", samples[:n_small])
+    dump("test_wav.json", samples[:n_small])
+    open(os.path.join(out, "test_text.txt"), "w").write(
+        "\n".join(text_lines[:n_small]) + "\n"
+    )
+    print(f"mini wave corpus: {num_utts} utts -> {out}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", required=True)
     parser.add_argument("--num_utts", type=int, default=16)
     parser.add_argument("--feat_dim", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--wave", action="store_true",
+        help="emit raw-waveform wavs + wave manifests (wav2vec recipes)",
+    )
     args = parser.parse_args(argv)
+    if args.wave:
+        os.makedirs(args.out, exist_ok=True)
+        gen_wave_corpus(args.out, args.num_utts, args.seed)
+        return
 
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.RandomState(args.seed)
