@@ -109,8 +109,10 @@ class Solver:
         params = self._place_params(model.params)
         self.model.params = params
         # optimizer moments are zeros_like(params): they inherit the
-        # parameter shardings automatically
-        self.opt_state = self.tx.init(params)
+        # parameter shardings automatically.  Scalar leaves (step counters)
+        # are committed to a replicated mesh sharding so restore targets
+        # and the donated step agree on placement.
+        self.opt_state = self._place_opt_scalars(self.tx.init(params))
 
         os.makedirs(self.exp_dir, exist_ok=True)
         self._train_step = self._build_train_step()
@@ -188,6 +190,19 @@ class Solver:
     def _place_params(self, params):
         shardings = param_shardings(params, self.mesh)
         return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+    def _place_opt_scalars(self, opt_state):
+        """Commit any opt-state leaf that did not inherit a mesh sharding
+        (e.g. step counters created by tx.init) to a replicated sharding."""
+        rep = replicated(self.mesh)
+
+        def place(leaf):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, jax.sharding.NamedSharding):
+                return leaf
+            return jax.device_put(leaf, rep)
+
+        return jax.tree_util.tree_map(place, opt_state)
 
     def current_lr(self) -> float:
         return float(self.init_lr * self.schedule(self.step + 1))
@@ -579,11 +594,29 @@ class Solver:
         self.step = state["step"]
         self.tr_loss = list(state["tr_loss"])
         self.cv_loss = list(state["cv_loss"])
+        # model.restore() leaves params wherever jnp.asarray put them
+        # (default device); re-place them onto the mesh shardings so the
+        # donated train step runs in place after a restore
+        self.model.params = self._place_params(self.model.params)
         if pkg.get("optim_state") is not None:
+            # restore each leaf onto the CURRENT opt_state's sharding —
+            # plain jnp.asarray would land everything replicated on the
+            # default device, and the first donated train step after a
+            # tensor-parallel restore would then reshard (or OOM) instead
+            # of running in place
             target = jax.tree_util.tree_structure(self.opt_state)
             leaves = jax.tree_util.tree_leaves(pkg["optim_state"])
+            cur = jax.tree_util.tree_leaves(self.opt_state)
+            assert len(leaves) == len(cur), (
+                f"optimizer state mismatch: checkpoint has {len(leaves)} "
+                f"leaves, current optimizer expects {len(cur)}"
+            )
             self.opt_state = jax.tree_util.tree_unflatten(
-                target, [jnp.asarray(l) for l in leaves]
+                target,
+                [
+                    jax.device_put(np.asarray(l), c.sharding)
+                    for l, c in zip(leaves, cur)
+                ],
             )
         if self.is_bob and "scheduler_state" in pkg:
             self.schedule.restore_state(pkg["scheduler_state"])

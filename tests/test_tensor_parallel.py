@@ -148,3 +148,185 @@ def test_train_step_parity_across_meshes(tmp_path):
                 flat[key], ref_leaf, rtol=2e-3, atol=2e-5,
                 err_msg=f"{tag}:{key}",
             )
+
+
+# ------------------------------------------------- beyond the flagship tree
+
+def _cif_solver(mesh, tmp_path, tag):
+    cfg = Config({
+        "type": "ctc_cif", "add_eos": True, "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "assigner": {"d_model": 32, "n_layers": 2, "w_context": 3,
+                     "dropout": 0.0},
+        "decoder": {"type": "CIF_Decoder", "vocab_size": 8, "d_model": 32,
+                    "nhead": 2, "num_layers": 1, "encoder_dim": 32,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "dropout_rate": 0.0},
+    })
+    model = get_model_class(cfg.type).create_model(cfg)
+    training = Config({
+        "num_epoch": 1, "exp_dir": str(tmp_path / f"cif_{tag}"),
+        "print_inteval": 1000, "accumulate_grad_batch": 1,
+        "init_lr": 1e-3, "optimtype": "adam", "grad_max_norm": 5.0,
+        "label_smooth": 0.1, "lambda_ctc": 0.5, "lambda_qua": 1.0,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 20,
+                         "d_model": 32},
+    })
+    return get_solver_class(cfg.type)(model, training, [], [], mesh=mesh), model
+
+
+def _params_allclose(got, ref, rtol, atol, tag):
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
+    flat = {
+        jax.tree_util.keystr(p): leaf
+        for p, leaf in jax.tree_util.tree_flatten_with_path(got)[0]
+    }
+    for path, ref_leaf in flat_ref:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            flat[key], ref_leaf, rtol=rtol, atol=atol,
+            err_msg=f"{tag}:{key}",
+        )
+
+
+def test_cif_train_step_parity_across_meshes(tmp_path):
+    """The CIF tree (assigner + scan/cumsum-scatter fire + CIF decoder)
+    must train identically on single-device and dp4 x tp2 meshes."""
+    batch = _make_batch()
+    rng = jax.random.PRNGKey(11)
+    out = {}
+    for tag in ("single", "dp4_tp2"):
+        mesh = _meshes()[tag]
+        solver, model = _cif_solver(mesh, tmp_path, tag)
+        arrays = shard_batch(array_fields(batch), mesh)
+        params, _, loss, _ = solver._train_step(
+            model.params, solver.opt_state, arrays, rng
+        )
+        out[tag] = (
+            float(loss),
+            jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
+        )
+    ref_loss, ref_params = out["single"]
+    assert np.isfinite(ref_loss)
+    loss, params = out["dp4_tp2"]
+    assert np.isclose(loss, ref_loss, rtol=2e-4), (loss, ref_loss)
+    _params_allclose(params, ref_params, 2e-3, 2e-5, "dp4_tp2")
+
+
+def _gru_solver(mesh, tmp_path, tag):
+    cfg = Config({
+        "type": "gru_ctc",
+        "signal": {"d_model": 32},
+        "encoder": {"d_input": 32, "d_model": 32, "n_layers": 1,
+                    "dropout": 0.0},
+        "decoder": {"vocab_size": 10},
+    })
+    model = get_model_class(cfg.type).create_model(cfg)
+    training = Config({
+        "num_epoch": 1, "exp_dir": str(tmp_path / f"gru_{tag}"),
+        "print_inteval": 1000, "accumulate_grad_batch": 1,
+        "init_lr": 1e-3, "optimtype": "adam", "grad_max_norm": 5.0,
+        "label_smooth": 0.0, "lambda_ctc": 1.0,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 20,
+                         "d_model": 32},
+    })
+    return get_solver_class(cfg.type)(model, training, [], [], mesh=mesh), model
+
+
+def _wave_batch(b=8):
+    rng = np.random.RandomState(3)
+    n = 160 * 16
+    return {
+        "waves": rng.randn(b, n).astype(np.float32),
+        "wave_lengths": np.full((b,), n, np.int32),
+        "ids": rng.randint(1, 9, (b, 4)).astype(np.int32),
+        "labels": rng.randint(1, 9, (b, 4)).astype(np.int32),
+        "paddings": np.zeros((b, 4), np.float32),
+    }
+
+
+def test_gru_batch_stats_train_step_parity_across_meshes(tmp_path):
+    """A BatchNorm (batch_stats) model — the mutable-collection train step
+    with replicated running stats — must train identically on single and
+    dp4 x tp2 meshes, including the updated batch_stats."""
+    batch = _wave_batch()
+    rng = jax.random.PRNGKey(13)
+    out = {}
+    for tag in ("single", "dp4_tp2"):
+        mesh = _meshes()[tag]
+        solver, model = _gru_solver(mesh, tmp_path, tag)
+        arrays = shard_batch(array_fields(batch), mesh)
+        params, _, loss, _ = solver._train_step(
+            model.params, solver.opt_state, arrays, rng
+        )
+        out[tag] = (
+            float(loss),
+            jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
+            jax.tree_util.tree_map(
+                np.asarray, jax.device_get(solver.model.batch_stats)
+            ),
+        )
+    ref_loss, ref_params, ref_bs = out["single"]
+    assert np.isfinite(ref_loss)
+    loss, params, bs = out["dp4_tp2"]
+    assert np.isclose(loss, ref_loss, rtol=2e-4), (loss, ref_loss)
+    _params_allclose(params, ref_params, 2e-3, 2e-5, "dp4_tp2")
+    _params_allclose(bs, ref_bs, 2e-3, 2e-5, "dp4_tp2:batch_stats")
+
+
+def test_tensor_parallel_resume(tmp_path):
+    """Save under dp4 x tp2, restore into a fresh solver on the same mesh:
+    opt-state shardings must match the live solver's (not collapse to the
+    default device), and the next step must be parity-identical to the
+    never-interrupted run."""
+    mesh = _meshes()["dp4_tp2"]
+    batch = _make_batch()
+    rng0, rng1 = jax.random.PRNGKey(17), jax.random.PRNGKey(19)
+
+    solver, model = _make_solver(mesh, tmp_path, "resume_a")
+    arrays = shard_batch(array_fields(batch), mesh)
+    params, opt_state, _, _ = solver._train_step(
+        model.params, solver.opt_state, arrays, rng0
+    )
+    solver.opt_state = opt_state
+    model.params = params
+    solver.step = 1
+    pkg = jax.tree_util.tree_map(np.asarray, solver.package())
+
+    # the uninterrupted continuation
+    params_cont, _, loss_cont, _ = solver._train_step(
+        params, opt_state, arrays, rng1
+    )
+    cont = jax.tree_util.tree_map(np.asarray, jax.device_get(params_cont))
+
+    # fresh solver + restore (the bin/train --continue-training order:
+    # model.restore BEFORE solver construction, solver.restore after)
+    solver2, model2 = _make_solver(mesh, tmp_path, "resume_b")
+    init_shardings = [
+        (l.sharding, l.ndim)
+        for l in jax.tree_util.tree_leaves(solver2.opt_state)
+    ]
+    model2.restore(pkg["model"])
+    solver2.model.params = solver2._place_params(model2.params)
+    solver2.restore(pkg)
+    assert solver2.step == 1
+
+    restored = jax.tree_util.tree_leaves(solver2.opt_state)
+    assert len(init_shardings) == len(restored)
+    # restore must land every leaf back on the solver's intended mesh
+    # shardings — not collapse to the default device
+    for (sh, ndim), b in zip(init_shardings, restored):
+        assert isinstance(b.sharding, jax.sharding.NamedSharding), b.sharding
+        assert sh.is_equivalent_to(b.sharding, ndim), (sh, b.sharding)
+
+    params_res, _, loss_res, _ = solver2._train_step(
+        solver2.model.params, solver2.opt_state, arrays, rng1
+    )
+    res = jax.tree_util.tree_map(np.asarray, jax.device_get(params_res))
+    assert np.isclose(float(loss_res), float(loss_cont), rtol=1e-5)
+    _params_allclose(res, cont, 1e-4, 1e-6, "resumed")
