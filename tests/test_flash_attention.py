@@ -320,3 +320,70 @@ def test_min_len_gate_routes_short_to_dense():
         else:
             os.environ.pop("OPENASR_FLASH_MIN_LEN", None)
         os.environ["OPENASR_FLASH_MIN_LEN"] = "0"  # module-level test env
+
+
+def test_long_sequence_decode_equivalence_flash_vs_dense():
+    """Decode-equivalence at attention length >= 512 (where the Pallas
+    route engages by default): same params, same batch — identical CTC
+    logits and identical greedy hypotheses through the flash kernel vs
+    the dense XLA path."""
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+
+    cfg = Config({
+        "type": "conv-ctc",
+        "add_eos": False,
+        "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 8, "d_model": 16, "nhead": 2,
+                    "dim_feedforward": 32, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.1},
+        "decoder": {"vocab_size": 8},
+    })
+    model = get_model_class(cfg.type).create_model(cfg)
+
+    rng = np.random.RandomState(5)
+    t = 1030  # 1-layer ConvV2 subsample /2 -> attention length >= 512
+    feats = jnp.asarray(rng.randn(2, t, 8), jnp.float32)
+    lengths = jnp.asarray([t, t - 100], jnp.int32)
+
+    set_flash_attention(False)
+    try:
+        jax.clear_caches()
+        dense_logits, dense_lens = model.get_logits(
+            model.params, feats, lengths
+        )
+        dense_ids, dense_idlens = model.greedy_decode(
+            model.params, feats, lengths
+        )
+        set_flash_attention(True)
+        jax.clear_caches()
+        flash_logits, flash_lens = model.get_logits(
+            model.params, feats, lengths
+        )
+        flash_ids, flash_idlens = model.greedy_decode(
+            model.params, feats, lengths
+        )
+    finally:
+        set_flash_attention(None)
+        jax.clear_caches()
+
+    assert int(dense_lens[0]) >= 512, "attention length below flash regime"
+    assert np.array_equal(np.asarray(dense_lens), np.asarray(flash_lens))
+    mask = (
+        np.arange(dense_logits.shape[1])[None, :]
+        < np.asarray(dense_lens)[:, None]
+    )
+    np.testing.assert_allclose(
+        np.asarray(flash_logits)[mask], np.asarray(dense_logits)[mask],
+        atol=2e-4,
+    )
+    # identical hypotheses, not merely close scores
+    assert np.array_equal(np.asarray(dense_idlens), np.asarray(flash_idlens))
+    for i in range(2):
+        n = int(dense_idlens[i])
+        assert np.array_equal(
+            np.asarray(dense_ids)[i, :n], np.asarray(flash_ids)[i, :n]
+        ), f"hypothesis {i} differs between attention backends"

@@ -162,7 +162,13 @@ def test_ctc_training_reaches_low_cer(corpus, tmp_path):
     """End-to-end decode-accuracy evidence on the synthetic corpus: a
     conv-ctc model overfits 16 utterances and greedy decoding reproduces
     the labels with low token error rate (the rebuild's stand-in for
-    real-corpus CER checks — no corpus ships in this environment)."""
+    real-corpus CER checks — no corpus ships in this environment).
+
+    SpecAug and dropout are ON during training: regularization semantics
+    (mask fill values, per-batch draws, train/eval gating) are exactly
+    what block-level parity tests cannot see — a drift there shows up
+    here as a convergence failure.  Mask widths are scaled to the tiny
+    20-dim x ~40-frame synthetic features."""
     from openasr_tpu.utils.metrics import batch_distance
 
     tok = CharTokenizer(str(corpus / "vocab.txt"), add_blk=True)
@@ -170,12 +176,14 @@ def test_ctc_training_reaches_low_cer(corpus, tmp_path):
         "type": "conv-ctc",
         "add_eos": False,
         "add_blk": True,
-        "signal": {"feature_type": "offline"},
+        "signal": {"feature_type": "offline",
+                   "spec_aug": {"freq_mask_num": 1, "freq_mask_width": 2,
+                                "time_mask_num": 1, "time_mask_width": 3}},
         "encoder": {"type": "Transformer",
                     "sub": {"type": "ConvV2", "layer_num": 1},
                     "input_dim": 20, "d_model": 32, "nhead": 2,
                     "dim_feedforward": 64, "activation": "relu",
-                    "num_layers": 1, "dropout_rate": 0.0},
+                    "num_layers": 1, "dropout_rate": 0.1},
         "decoder": {"vocab_size": tok.unit_num()},
     })
     train_set = ArkDataset(str(corpus / "train.json"),
@@ -188,7 +196,7 @@ def test_ctc_training_reaches_low_cer(corpus, tmp_path):
     )
     model = get_model_class(cfg.type).create_model(cfg)
     training = Config({
-        "num_epoch": 150, "exp_dir": str(tmp_path / "exp"),
+        "num_epoch": 250, "exp_dir": str(tmp_path / "exp"),
         "print_inteval": 10**6, "accumulate_grad_batch": 1,
         "init_lr": 5e-3, "optimtype": "adam", "grad_max_norm": 5.0,
         "label_smooth": 0.0,
@@ -200,7 +208,7 @@ def test_ctc_training_reaches_low_cer(corpus, tmp_path):
     mesh = make_mesh(jax.devices("cpu")[:1])
     solver = get_solver_class(cfg.type)(model, training, loader, [],
                                         mesh=mesh)
-    for _ in range(150):
+    for _ in range(250):
         solver.iter_one_epoch()
         solver.epoch += 1
 
@@ -219,4 +227,4 @@ def test_ctc_training_reaches_low_cer(corpus, tmp_path):
         dist += batch_distance(refs, hyps)
         n_ref += sum(len(r) for r in refs)
     cer = dist / max(n_ref, 1)
-    assert cer < 0.25, f"synthetic-corpus CER too high: {cer:.2f}"
+    assert cer <= 0.10, f"synthetic-corpus CER too high: {cer:.2f}"
