@@ -555,6 +555,29 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 # ---------------------------------------------------------------------------
 
 
+def _vmem_guarded_blocks(
+    h: int, d_p: int, block_q: int, block_k: int, dropout_rate: float
+):
+    """VMEM guard: the default 128x512 blocks are sized for h*d_p <= 512
+    (e.g. 8 heads x 64 dim) — the all-heads-per-program design keeps
+    [H, block, D] blocks and f32 scratch resident, so a larger head
+    budget must shrink the k block (then the q block) proportionally or
+    Mosaic fails compilation on the ~16 MB scoped-VMEM budget.  In-kernel
+    dropout adds per-head [block_q, block_k] keep-mask temporaries on
+    top: at exactly h*d_p == 512 the dkv backward measured 56 KB over
+    the 16 MB limit on a v5e, so the dropout path halves block_k one
+    step earlier (the guard denominator drops to 384)."""
+    denom = 384 if dropout_rate > 0.0 else 512
+    over = (h * d_p + denom - 1) // denom
+    while over > 1 and block_k > 128:
+        block_k //= 2
+        over = (over + 1) // 2
+    while over > 1 and block_q > 32:
+        block_q //= 2
+        over = (over + 1) // 2
+    return block_q, block_k
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -602,19 +625,9 @@ def flash_attention(
     # widths (64/32) instead of padding to 128 — halves/quarters HBM traffic
     d_p = d if (d % 128 == 0 or d in (64, 32)) else max(_round_up(d, 128), 128)
 
-    # VMEM guard: the default 128x512 blocks are sized for h*d_p <= 512
-    # (e.g. 8 heads x 64 dim) — the all-heads-per-program design keeps
-    # [H, block, D] blocks and f32 scratch resident, so a larger head
-    # budget must shrink the k block (then the q block) proportionally or
-    # Mosaic fails compilation on the ~16 MB VMEM budget.
-    over = (h * d_p + 511) // 512
-    while over > 1 and block_k > 128:
-        block_k //= 2
-        over = (over + 1) // 2
-    while over > 1 and block_q > 32:
-        block_q //= 2
-        over = (over + 1) // 2
-
+    block_q, block_k = _vmem_guarded_blocks(
+        h, d_p, block_q, block_k, dropout_rate
+    )
     block_q = min(block_q, _round_up(tq, 8))
     block_k = min(block_k, _round_up(tk, 128))
     tq_p = _round_up(tq, block_q)

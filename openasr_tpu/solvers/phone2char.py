@@ -47,9 +47,13 @@ class Phone2CharCTCSolver(Solver):
         return loss
 
     def dev_wer(self) -> float:
+        # jit once: XLA's shape-keyed jit cache then compiles one program
+        # per quantized cv bucket instead of re-tracing every epoch
+        if not hasattr(self, "_jit_greedy"):
+            self._jit_greedy = jax.jit(self.model.greedy_decode)
         dist, n_ref = 0, 0
         for batch in self.cv_loader:
-            ids, lens = self.model.greedy_decode(
+            ids, lens = self._jit_greedy(
                 self.model.params, batch["phones"], batch["phone_lengths"]
             )
             ids, lens = np.asarray(ids), np.asarray(lens)

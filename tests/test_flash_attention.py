@@ -387,3 +387,48 @@ def test_long_sequence_decode_equivalence_flash_vs_dense():
         assert np.array_equal(
             np.asarray(dense_ids)[i, :n], np.asarray(flash_ids)[i, :n]
         ), f"hypothesis {i} differs between attention backends"
+
+
+def test_vmem_guard_block_selection():
+    """Block sizes must shrink with the per-program head budget (and one
+    step earlier when in-kernel dropout is active) so large-head configs
+    route to smaller tiles instead of a Mosaic scoped-VMEM failure."""
+    from openasr_tpu.kernels.flash_attention import (
+        DEFAULT_BLOCK_K,
+        DEFAULT_BLOCK_Q,
+        _vmem_guarded_blocks,
+    )
+
+    # the validated default: 8 heads x 64 dim, no dropout
+    assert _vmem_guarded_blocks(8, 64, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                                0.0) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+    # dropout at the same budget: one block_k halving (the measured 56 KB
+    # scoped-VMEM overflow of the dkv backward at B=64, T=512)
+    assert _vmem_guarded_blocks(8, 64, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                                0.1) == (DEFAULT_BLOCK_Q,
+                                         DEFAULT_BLOCK_K // 2)
+    # 16 heads x 64: halve block_k
+    bq, bk = _vmem_guarded_blocks(16, 64, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K,
+                                  0.0)
+    assert (bq, bk) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K // 2)
+    # extreme budget: k block floors at 128, then q shrinks; never below
+    # the tiling minima
+    bq, bk = _vmem_guarded_blocks(32, 128, DEFAULT_BLOCK_Q,
+                                  DEFAULT_BLOCK_K, 0.1)
+    assert bk == 128 and 32 <= bq < DEFAULT_BLOCK_Q
+
+
+def test_large_head_config_runs_interpret():
+    """A config over the validated head budget must still produce correct
+    output (through the scaled-down blocks), not a compile failure."""
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(1, 64, 16, 64) * 0.1, jnp.float32)
+    lens = jnp.asarray([50], jnp.int32)
+    out = flash_attention(q, q, q, kv_lengths=lens, interpret=True)
+    from openasr_tpu.models.layers import dot_product_attention
+    from openasr_tpu.ops.masks import padding_bias
+
+    ref = dot_product_attention(q, q, q, padding_bias(lens, 64))
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :50], np.asarray(ref)[:, :50], atol=2e-5
+    )

@@ -35,6 +35,9 @@ DTYPE = jnp.bfloat16
 CHAIN = 32  # attention calls per jit
 
 
+DROPOUT = float(os.environ.get("BENCH_FLASH_DROPOUT", "0"))
+
+
 def _xla_attn(q, lens):
     bias = combine_bias(
         padding_bias(lens, q.shape[1]),
@@ -44,10 +47,19 @@ def _xla_attn(q, lens):
             0.0, -1e30,
         )[None, None],
     )
+    if DROPOUT > 0:
+        return dot_product_attention(
+            q, q, q, bias, DROPOUT, False, jax.random.PRNGKey(0)
+        )
     return dot_product_attention(q, q, q, bias)
 
 
 def _flash_attn(q, lens):
+    if DROPOUT > 0:
+        return flash_attention(
+            q, q, q, kv_lengths=lens, causal=True, dropout_rate=DROPOUT,
+            dropout_seed=jnp.asarray([12345], jnp.uint32),
+        )
     return flash_attention(q, q, q, kv_lengths=lens, causal=True)
 
 
