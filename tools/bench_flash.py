@@ -90,8 +90,58 @@ def chained_grad(attn):
     return run
 
 
+def _device_us(fn, args, n):
+    """Sum of the chained program's device-lane spans from a profiler
+    trace, per attention call.  Host wall-clock through the relayed
+    backend measures dispatch, not execution (round-2 finding); the
+    xplane device lane is the hardware's own clock.  Returns None when
+    tracing is unavailable (then the wall-clock fallback is used)."""
+    import glob
+    import gzip
+    import json
+    import shutil
+    import tempfile
+
+    logdir = tempfile.mkdtemp(prefix="bench_flash_trace_")
+    try:
+        jax.profiler.start_trace(logdir)
+        out = None
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        traces = glob.glob(
+            os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True
+        )
+        if not traces:
+            return None
+        with gzip.open(traces[0]) as f:
+            trace = json.load(f)
+        events = trace.get("traceEvents", [])
+        device_pids = {
+            e["pid"] for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"
+            and "TPU" in e.get("args", {}).get("name", "")
+        }
+        total = sum(
+            e["dur"] for e in events
+            if e.get("ph") == "X" and e.get("pid") in device_pids
+            and e.get("name", "").startswith("jit_run")
+        )
+        if total <= 0:
+            return None
+        return total / (n * CHAIN)
+    except Exception:
+        return None
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+
+
 def bench(fn, args, n=4):
     jax.block_until_ready(fn(*args))  # compile
+    dev = _device_us(fn, args, n)
+    if dev is not None:
+        return float(dev)
     samples = []
     for _ in range(3):
         t0 = time.time()
