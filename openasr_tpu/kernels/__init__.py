@@ -129,3 +129,27 @@ def fused_fbank_enabled() -> bool:
     if env in ("0", "false", "off"):
         return False
     return default_platform() == "tpu"
+
+
+_layer_norm_override: Optional[bool] = None
+
+
+def set_fused_layer_norm(value: Optional[bool]) -> None:
+    global _layer_norm_override
+    _layer_norm_override = value
+
+
+def fused_layer_norm_enabled() -> bool:
+    """Route LayerNorm through the one-pass Pallas kernel
+    (kernels/layer_norm.py).  Same contract as the other gates: env var
+    OPENASR_FUSED_LAYER_NORM 1/0/auto (auto = TPU only), runtime override
+    wins.  models/layers.py:LayerNorm additionally requires a large-enough
+    row count — tiny per-decode-step shapes stay on plain XLA."""
+    if _layer_norm_override is not None:
+        return _layer_norm_override
+    env = os.environ.get("OPENASR_FUSED_LAYER_NORM", "auto").lower()
+    if env in ("1", "true", "on"):
+        return True
+    if env in ("0", "false", "off"):
+        return False
+    return default_platform() == "tpu"

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 
 from openasr_tpu.models.layers import (
     XAVIER_UNIFORM,
+    LayerNorm,
     TransformerEncoderLayer,
     positional_encoding,
 )
@@ -89,7 +90,7 @@ class TransformerEncoder(nn.Module):
                 self.dropout_rate, self.activation, self.dtype,
                 name=f"layer{i}",
             )(x, None, deterministic, lengths, False)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return x, lengths
 
     @staticmethod

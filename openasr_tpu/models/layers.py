@@ -34,6 +34,38 @@ Dtype = Any
 XAVIER_UNIFORM = nn.initializers.xavier_uniform()
 
 
+class LayerNorm(nn.Module):
+    """Drop-in replacement for flax nn.LayerNorm (same param names/shapes:
+    'scale'/'bias' [D] f32; same math: f32 fast-variance statistics, output
+    cast to `dtype`) that routes through the one-pass Pallas kernel
+    (kernels/layer_norm.py) on TPU.  Small row counts — e.g. the [B, 1, D]
+    tensors of a KV-cached decode step inside lax.scan — stay on the plain
+    XLA formula, where a kernel launch would cost more than it saves."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+    min_rows: int = 1024
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from openasr_tpu.kernels import fused_layer_norm_enabled
+        from openasr_tpu.kernels.layer_norm import (
+            fused_layer_norm,
+            layer_norm_reference,
+        )
+
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        x = jnp.asarray(x, self.dtype)
+        rows = 1
+        for s in x.shape[:-1]:
+            rows *= s
+        if fused_layer_norm_enabled() and rows >= self.min_rows:
+            return fused_layer_norm(x, scale, bias, self.epsilon)
+        return layer_norm_reference(x, scale, bias, self.epsilon)
+
+
 @lru_cache(maxsize=8)
 def _pe_table(d_model: int, max_len: int) -> np.ndarray:
     """Sin/cos table [max_len, d_model] (reference: src/blocks/position.py:17-24)."""
@@ -271,13 +303,13 @@ class TransformerEncoderLayer(nn.Module):
             name="self_attn",
         )(x, x, bias, deterministic, kv_lengths=kv_lengths, causal=causal)
         x = x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
         ff = FeedForward(
             self.d_model, self.dim_feedforward, self.activation,
             self.dropout_rate, self.dtype, name="ffn",
         )(x, deterministic)
         x = x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        return LayerNorm(dtype=self.dtype, name="norm2")(x)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -305,9 +337,9 @@ class TransformerDecoderLayer(nn.Module):
             self.d_model, self.dim_feedforward, self.activation,
             self.dropout_rate, self.dtype, name="ffn",
         )
-        self.norm1 = nn.LayerNorm(dtype=self.dtype, name="norm1")
-        self.norm2 = nn.LayerNorm(dtype=self.dtype, name="norm2")
-        self.norm3 = nn.LayerNorm(dtype=self.dtype, name="norm3")
+        self.norm1 = LayerNorm(dtype=self.dtype, name="norm1")
+        self.norm2 = LayerNorm(dtype=self.dtype, name="norm2")
+        self.norm3 = LayerNorm(dtype=self.dtype, name="norm3")
 
     def _drop(self, x, deterministic):
         return nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)

@@ -14,7 +14,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from openasr_tpu.models.layers import XAVIER_UNIFORM
+from openasr_tpu.models.layers import XAVIER_UNIFORM, LayerNorm
 
 Dtype = Any
 
@@ -98,6 +98,6 @@ class Conv1dSubsample(nn.Module):
             self.d_model, (self.context_width,), strides=(self.subsample,),
             padding="VALID", dtype=self.dtype, name="conv",
         )(feats)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="norm")(x)
         lengths = conv_out_len(feat_lengths, self.context_width, self.subsample)
         return x, lengths

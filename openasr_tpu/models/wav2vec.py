@@ -33,6 +33,7 @@ from openasr_tpu.config import Config
 from openasr_tpu.models import Framework, register_model
 from openasr_tpu.models.frontend import WavConv
 from openasr_tpu.models.layers import (
+    LayerNorm,
     TransformerEncoderLayer,
     XAVIER_UNIFORM,
     positional_encoding,
@@ -73,7 +74,7 @@ class Wav2VecEncoderModule(nn.Module):
                 self.dropout_rate, self.activation, self.dtype,
                 name=f"layer{i}",
             )(x, None, deterministic, kv_lengths=lengths)
-        x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
+        x = LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return x, lengths
 
 
