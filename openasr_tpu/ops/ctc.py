@@ -48,7 +48,16 @@ def _ctc_forward(logits, logit_lengths, targets, target_lengths, blank_id):
     u_max = targets.shape[1]
     s_max = 2 * u_max + 1
 
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # The full [B, T, V] f32 log-prob tensor is never materialized: the DP
+    # only consumes log-probs at the S extended-target ids, and
+    # log_softmax(x)[v] = x[v] - logsumexp(x).  Computing the [B, T]
+    # normalizer separately and gathering RAW logits cuts ~3 full [B,T,V]
+    # f32 HBM passes per step (one write + two re-reads at the flagship
+    # shape ≈ 400 MB) down to two bf16 reads of the logits, and halves the
+    # custom-VJP residual (the logits input is already live).
+    log_z = jax.scipy.special.logsumexp(
+        logits.astype(jnp.float32), axis=-1
+    )  # [B, T]
 
     s_idx, ext, can_skip = _extended_targets(targets, u_max, s_max, blank_id)
 
@@ -56,24 +65,25 @@ def _ctc_forward(logits, logit_lengths, targets, target_lengths, blank_id):
     logit_lengths = logit_lengths.astype(jnp.int32)
     s_valid = s_idx < (2 * target_lengths[:, None] + 1)
 
-    # Pre-gather the extended-target log-probs ONCE: ys[b, t, s] =
-    # log_probs[b, t, ext[b, s]].  Gathering inside the scan instead would
-    # re-read the whole [B, V] frame from HBM on every one of the T
-    # iterations (fwd + bwd ~ 2*T*B*V*4 bytes per train step — measured as
-    # ~28% of the flagship step's device time before this change); the DP
-    # itself only ever touches [B, S].
+    # Pre-gather the extended-target logits ONCE: ys[b, t, s] =
+    # logits[b, t, ext[b, s]] - log_z[b, t].  Gathering inside the scan
+    # instead would re-read the whole [B, V] frame from HBM on every one of
+    # the T iterations (fwd + bwd ~ 2*T*B*V*4 bytes per train step —
+    # measured as ~28% of the flagship step's device time before this
+    # change); the DP itself only ever touches [B, S].
     #
     # The gather is expressed as a one-hot batched matmul, NOT
     # take_along_axis: XLA:TPU lowers the latter to a row-at-a-time dynamic
     # gather that measured 6.5 ms/step on the flagship bench (15% of the
     # step), while [B,T,V] x [B,S,V] -> [B,T,S] rides the MXU in ~0.2 ms.
-    # f32 one-hot keeps it EXACT: each output element is log_probs[b,t,ext]
-    # plus exact zeros, so parity with the gather is bit-level.
-    one_hot_ext = jax.nn.one_hot(ext, v, dtype=log_probs.dtype)  # [B, S, V]
+    # The one-hot keeps it EXACT regardless of dtype: each output element is
+    # logits[b,t,ext] plus exact zeros (f32 accumulation), so parity with a
+    # direct gather is bit-level.
+    one_hot_ext = jax.nn.one_hot(ext, v, dtype=logits.dtype)  # [B, S, V]
     ys = jnp.einsum(
-        "btv,bsv->bts", log_probs, one_hot_ext,
+        "btv,bsv->bts", logits, one_hot_ext,
         preferred_element_type=jnp.float32,
-    )  # [B, T, S]
+    ) - log_z[:, :, None]  # [B, T, S]
 
     # alpha_0: only s=0 (blank) and s=1 (first label) are reachable
     alpha0 = jnp.where(s_idx <= 1, ys[:, 0], LOG_EPSILON)
@@ -114,7 +124,7 @@ def _ctc_forward(logits, logit_lengths, targets, target_lengths, blank_id):
     a_prev = jnp.where(target_lengths > 0, a_prev, LOG_EPSILON)
     m = jnp.maximum(a_last, a_prev)
     total = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
-    aux = (log_probs, ys, ext, can_skip, s_idx, s_valid,
+    aux = (logits, log_z, ys, ext, can_skip, s_idx, s_valid,
            logit_lengths, target_lengths, total)
     return -total, alphas, aux
 
@@ -126,11 +136,11 @@ def _ctc_backward(alphas, aux, g):
     and sums allowed continuations.  dL/dlp[t, v] = -sum_{s: ext_s=v} gamma;
     through log_softmax: d logits = (softmax * 1{t<len} - scatter(gamma)).
     """
-    (log_probs, ys, ext, can_skip, s_idx, s_valid,
+    (logits, log_z, ys, ext, can_skip, s_idx, s_valid,
      logit_lengths, target_lengths, total) = aux
-    t_max = log_probs.shape[1]
+    t_max = logits.shape[1]
     b, s_max = ext.shape
-    v = log_probs.shape[-1]
+    v = logits.shape[-1]
 
     # skip OUT of s into s+2 allowed when can_skip[s+2]
     skip_out = jnp.pad(
@@ -173,8 +183,8 @@ def _ctc_backward(alphas, aux, g):
     )  # [T, B, S] with beta_{T-1} = terminal (overridden by use_terminal rule
     # for shorter sequences inside the scan)
 
-    log_z = total  # [B] (log p = total; loss was -total)
-    occ_log = alphas + betas - log_z[None, :, None]
+    log_p = total  # [B] (log p = total; loss was -total)
+    occ_log = alphas + betas - log_p[None, :, None]
     occ = jnp.exp(jnp.minimum(occ_log, 0.0))  # clamp guards padded rows
     occ = jnp.where(s_valid[None], occ, 0.0)
     t_idx = lax.broadcasted_iota(jnp.int32, (t_max, b, 1), 0)
@@ -190,7 +200,9 @@ def _ctc_backward(alphas, aux, g):
         lax.broadcasted_iota(jnp.int32, (b, t_max, 1), 1)
         < logit_lengths[:, None, None]
     )
-    probs = jnp.exp(log_probs) * valid_t
+    # softmax recomputed from the (already-live) logits + the tiny [B, T]
+    # normalizer instead of re-reading a stored f32 log-prob tensor
+    probs = jnp.exp(logits.astype(jnp.float32) - log_z[:, :, None]) * valid_t
     # occupancy sums to 1 on valid frames, so d(-log p)/d logits:
     dlogits = probs - scatter
     # zero out degenerate rows (empty targets: caller masks their loss)

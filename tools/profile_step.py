@@ -192,7 +192,8 @@ def trace_report(n_steps=5):
     print(f"\n=== device-lane per-op totals over {n_steps} steps "
           f"(jit_train_step total {total/1e3/n_steps:.2f} ms/step) ===")
     shown = 0.0
-    for name, us in agg.most_common(50):
+    top = int(os.environ.get("PROFILE_TOP", "50"))
+    for name, us in agg.most_common(top):
         ms = us / 1e3 / n_steps
         nb = op_bytes(name)
         if nb:
