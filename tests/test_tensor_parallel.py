@@ -279,6 +279,74 @@ def test_gru_batch_stats_train_step_parity_across_meshes(tmp_path):
     _params_allclose(bs, ref_bs, 2e-3, 2e-5, "dp4_tp2:batch_stats")
 
 
+def _gan_solver(mesh, tmp_path, tag):
+    cfg = Config({
+        "type": "gan_phone2char",
+        "G": {
+            "encoder": {"vocab_size": 16, "d_model": 32},
+            "decoder": {"vocab_size": 20, "d_model": 32, "nhead": 2,
+                        "num_layers": 1, "dim_feedforward": 64,
+                        "activation": "relu", "dropout_rate": 0.0},
+        },
+        "D": {"encoder": {"d_input": 20, "d_model": 32, "layer_num": 2}},
+    })
+    model = get_model_class(cfg.type).create_model(cfg)
+    training = Config({
+        "num_epoch": 1, "exp_dir": str(tmp_path / f"gan_{tag}"),
+        "print_inteval": 1000, "accumulate_grad_batch": 1,
+        "init_lr": 1e-3, "optimtype": "adam", "grad_max_norm": 5.0,
+        "label_smooth": 0.0, "lambda_ctc": 1.0,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 20,
+                         "d_model": 32},
+    })
+    return get_solver_class(cfg.type)(model, training, [], [], mesh=mesh), model
+
+
+def _gan_batch(b=8):
+    rng = np.random.RandomState(23)
+    paddings = np.zeros((b, 5), np.float32)
+    paddings[:, 4:] = 1.0
+    return {
+        "phones": rng.randint(3, 14, (b, 7)).astype(np.int32),
+        "phone_lengths": np.linspace(4, 7, b).astype(np.int32),
+        "labels": rng.randint(3, 19, (b, 5)).astype(np.int32),
+        "paddings": paddings,
+        "unpaired_phones": rng.randint(3, 14, (b, 7)).astype(np.int32),
+        "unpaired_phone_lengths": np.linspace(4, 7, b).astype(np.int32),
+        "unpaired_text": rng.randint(3, 19, (b, 6)).astype(np.int32),
+        "unpaired_text_lengths": np.linspace(3, 6, b).astype(np.int32),
+    }
+
+
+def test_gan_train_step_parity_across_meshes(tmp_path):
+    """The WGAN-GP tree — with a nested `jax.grad` (gradient penalty on
+    interpolates, models/gan.py:loss_D) inside the outer loss — must train
+    identically on single-device and dp4 x tp2 meshes.  GSPMD has to
+    partition the double-grad computation; this is the one model family
+    whose autodiff structure none of the other mesh tests exercise."""
+    batch = _gan_batch()
+    rng = jax.random.PRNGKey(29)
+    out = {}
+    for tag in ("single", "dp4_tp2"):
+        mesh = _meshes()[tag]
+        solver, model = _gan_solver(mesh, tmp_path, tag)
+        arrays = shard_batch(array_fields(batch), mesh)
+        params, _, loss, losses = solver._train_step(
+            model.params, solver.opt_state, arrays, rng
+        )
+        for k in ("ctc_loss", "g_loss", "d_loss"):
+            assert np.isfinite(float(losses[k])), (tag, k)
+        out[tag] = (
+            float(loss),
+            jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
+        )
+    ref_loss, ref_params = out["single"]
+    assert np.isfinite(ref_loss)
+    loss, params = out["dp4_tp2"]
+    assert np.isclose(loss, ref_loss, rtol=2e-4), (loss, ref_loss)
+    _params_allclose(params, ref_params, 2e-3, 2e-5, "dp4_tp2:gan")
+
+
 def test_tensor_parallel_resume(tmp_path):
     """Save under dp4 x tp2, restore into a fresh solver on the same mesh:
     opt-state shardings must match the live solver's (not collapse to the
