@@ -8,7 +8,13 @@ import jax.numpy as jnp
 
 from openasr_tpu.config import Config
 from openasr_tpu.models import get_model_class
-from openasr_tpu.ops.cif import cif, cif_output_lengths, scale_alphas
+from openasr_tpu.ops.cif import (
+    cif,
+    cif_output_lengths,
+    cif_parallel,
+    cif_scan,
+    scale_alphas,
+)
 
 
 def reference_cif_numpy(hidden, alphas, threshold=0.95):
@@ -55,6 +61,42 @@ def test_cif_scan_matches_reference_loop():
     cap = golden.shape[1]
     got = np.asarray(cif(jnp.asarray(hidden), jnp.asarray(alphas), cap))
     np.testing.assert_allclose(got, golden[:, :cap], rtol=1e-4, atol=1e-5)
+
+
+def test_cif_parallel_matches_scan():
+    """The closed-form (cummin + one-hot matmul) CIF must reproduce the
+    sequential scan exactly — including the backlog case where a scaled
+    alpha exceeds 1 and the integrator stays above threshold across
+    consecutive frames (at most one fire per frame, like the reference
+    loop), and capacity overflow."""
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        b, t, d = 4, 57, 16
+        hidden = rng.randn(b, t, d).astype(np.float32)
+        scale = 0.4 if trial % 2 == 0 else 1.3
+        alphas = (rng.rand(b, t) * scale).astype(np.float32)
+        if trial == 3:  # backlog: alphas well above 1
+            alphas[:, ::7] += 1.8
+        cap = int(alphas.sum(1).max()) + (2 if trial != 4 else -3)
+        cap = max(cap, 2)  # trial 4 underruns capacity (overflow dropped)
+        a = np.asarray(cif_scan(jnp.asarray(hidden), jnp.asarray(alphas), cap))
+        p = np.asarray(
+            cif_parallel(jnp.asarray(hidden), jnp.asarray(alphas), cap)
+        )
+        np.testing.assert_allclose(p, a, rtol=1e-4, atol=1e-4)
+
+    # gradients agree too (both route through the continuous parts only)
+    def loss(fn):
+        def f(h, a):
+            return jnp.sum(fn(h, a, 6) ** 2)
+        return jax.grad(f, argnums=(0, 1))
+
+    h = jnp.asarray(rng.randn(2, 30, 8).astype(np.float32))
+    al = jnp.asarray((rng.rand(2, 30) * 0.5).astype(np.float32))
+    for gs, gp in zip(loss(cif_scan)(h, al), loss(cif_parallel)(h, al)):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gs), rtol=1e-4, atol=1e-4
+        )
 
 
 def test_cif_output_lengths():
