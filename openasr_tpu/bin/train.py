@@ -24,6 +24,7 @@ from openasr_tpu.data.sampler import FrameBasedSampler, TimeBasedSampler
 from openasr_tpu.data.tokenizer import CharTokenizer
 from openasr_tpu.models import get_model_class
 from openasr_tpu.parallel import make_mesh
+from openasr_tpu.parallel.mesh import mesh_process_count, mesh_process_index
 from openasr_tpu.solvers import get_solver_class
 from openasr_tpu.utils.checkpoint import load_package
 
@@ -41,7 +42,7 @@ def _norm_type(modelconfig) -> str:
 
 
 def build_loaders(dataconfig, trainingconfig, modelconfig, tokenizer, ndata,
-                  tokenizer_phone=None):
+                  tokenizer_phone=None, rank=0, world=1):
     feat_range = parse_range(dataconfig.get("feat_range")) or (1, 99999)
     label_range = parse_range(dataconfig.get("label_range")) or (1, 100)
     label_type = trainingconfig.get("label_type", "tokens")
@@ -77,8 +78,10 @@ def build_loaders(dataconfig, trainingconfig, modelconfig, tokenizer, ndata,
             valid_set, int(trainingconfig["batch_frames"]) * ndata, ndata,
             shuffle=False,
         )
-        tr = DataLoader(train_set, tr_sampler, collate, num_workers=workers)
-        cv = DataLoader(valid_set, cv_sampler, collate, num_workers=workers)
+        tr = DataLoader(train_set, tr_sampler, collate, num_workers=workers,
+                        rank=rank, world=world)
+        cv = DataLoader(valid_set, cv_sampler, collate, num_workers=workers,
+                        rank=rank, world=world)
         return tr, cv
 
     if modelconfig["signal"]["feature_type"] == "offline":
@@ -113,8 +116,10 @@ def build_loaders(dataconfig, trainingconfig, modelconfig, tokenizer, ndata,
             valid_set, int(trainingconfig["batch_time"]) * ndata, ndata,
             shuffle=False,
         )
-    tr_loader = DataLoader(train_set, tr_sampler, collate, num_workers=workers)
-    cv_loader = DataLoader(valid_set, cv_sampler, collate, num_workers=workers)
+    tr_loader = DataLoader(train_set, tr_sampler, collate, num_workers=workers,
+                           rank=rank, world=world)
+    cv_loader = DataLoader(valid_set, cv_sampler, collate, num_workers=workers,
+                           rank=rank, world=world)
     return tr_loader, cv_loader
 
 
@@ -162,9 +167,13 @@ def main(argv=None):
         if "phone_size" in modelconfig or _norm_type(modelconfig) == "cif_mix":
             modelconfig["phone_size"] = tokenizer_phone.unit_num()
 
+    # multi-host: every host builds the identical batch plan and loads
+    # its own row-slice (data/loader.py); ndata is the GLOBAL data-axis
+    # size, so per-host batches stay divisible by the local share
     tr_loader, cv_loader = build_loaders(
         dataconfig, trainingconfig, modelconfig, tokenizer, ndata,
         tokenizer_phone=tokenizer_phone,
+        rank=mesh_process_index(mesh), world=mesh_process_count(mesh),
     )
 
     # CIF_MIX zips a second, acoustic-only (feats+phones) loader with the
@@ -186,6 +195,7 @@ def main(argv=None):
         acoustic_loader = DataLoader(
             ac_set, ac_sampler, FeatPhoneCollate(tokenizer_phone or tokenizer),
             num_workers=int(dataconfig.get("fetchworker_num", 2)),
+            rank=mesh_process_index(mesh), world=mesh_process_count(mesh),
         )
 
     # bf16 compute (fp32 params/optimizer) is the TPU-native mixed-precision

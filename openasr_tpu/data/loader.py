@@ -14,6 +14,15 @@ from typing import Callable, Iterable, Iterator, List, Sequence
 
 
 class DataLoader:
+    """`rank`/`world` make the loader multi-host aware: every host builds
+    the IDENTICAL batch plan (same manifest, same sampler seed) but
+    materializes only its contiguous row-slice of each planned batch —
+    host r of w loads rows [r*B/w, (r+1)*B/w).  The sampler's
+    `divisible_by` is the GLOBAL data-axis size, so B is always divisible
+    by `world`.  Per-host padded shapes may differ by a quantization
+    bucket; `parallel.shard_batch` reconciles them before assembling the
+    global array (see mesh.py)."""
+
     def __init__(
         self,
         dataset: Sequence,
@@ -21,14 +30,25 @@ class DataLoader:
         collate_fn: Callable,
         num_workers: int = 2,
         prefetch: int = 4,
+        rank: int = 0,
+        world: int = 1,
     ):
         self.dataset = dataset
         self.batch_sampler = batch_sampler
         self.collate_fn = collate_fn
         self.num_workers = max(0, num_workers)
         self.prefetch = max(1, prefetch)
+        self.rank = rank
+        self.world = max(1, world)
 
     def _make(self, indices: List[int]):
+        if self.world > 1:
+            assert len(indices) % self.world == 0, (
+                f"batch of {len(indices)} not divisible by world={self.world}"
+                " (pass the global data-axis size as the sampler's ngpu)"
+            )
+            k = len(indices) // self.world
+            indices = indices[self.rank * k : (self.rank + 1) * k]
         return self.collate_fn([self.dataset[i] for i in indices])
 
     def __iter__(self) -> Iterator:

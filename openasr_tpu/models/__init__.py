@@ -71,7 +71,21 @@ def get_model_class(name: str) -> type:
 
 
 def _to_numpy(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Fetch a pytree to host NumPy.  Multi-host: a leaf sharded over
+    another host's devices can't be read locally — all hosts collectively
+    all-gather it first (every host must therefore reach package() before
+    host 0 writes; see Solver.save)."""
+
+    def fetch(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
 
 
 def _check_config_compat(name: str, current: dict, saved: dict) -> None:

@@ -65,15 +65,110 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
 
 
+def _mesh_process_count(mesh: Mesh) -> int:
+    return len({d.process_index for d in mesh.devices.flat})
+
+
+def mesh_process_count(mesh: Mesh) -> int:
+    """Number of processes participating in this mesh."""
+    return _mesh_process_count(mesh)
+
+
+def mesh_process_index(mesh: Mesh) -> int:
+    """THIS host's process index relative to the mesh's own backend.
+    `jax.process_index()` consults the DEFAULT backend, which under a
+    foreign accelerator plugin (e.g. a single-process device tunnel) can
+    disagree with the backend the mesh actually runs on."""
+    d = next(iter(mesh.devices.flat))
+    return d.client.process_index()
+
+
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """device_put each array field with batch-dim sharding; non-arrays
-    (uttids) pass through."""
+    (uttids) pass through.
+
+    Multi-host: each process passes its LOCAL batch rows (see
+    data/loader.py rank/world); the global array is assembled with
+    `make_array_from_process_local_data` — global batch = local batch x
+    process count.  Per-host padded shapes can disagree by a quantization
+    bucket (each host collates its own slice), so non-batch dims are first
+    reconciled to the cross-host max via one tiny shape all-gather; the
+    extra padding is masked by the length fields like any other padding.
+    """
+    nproc = _mesh_process_count(mesh)
+    if nproc > 1:
+        return _shard_batch_multihost(batch, mesh, nproc)
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim"):
             out[k] = jax.device_put(v, batch_sharding(mesh, v.ndim))
         else:
             out[k] = v
+    return out
+
+
+def _allgather_host_data(mesh: Mesh, local: np.ndarray) -> np.ndarray:
+    """All-gather one small per-host array across the mesh's processes,
+    returning [nproc, *local.shape] on every host.  Built directly on the
+    mesh's own devices (one per process) — `multihost_utils` and
+    `xla_bridge.process_count()` consult the DEFAULT backend, which under
+    a foreign accelerator plugin can be a single-process device tunnel.
+    """
+    by_proc = {}
+    for d in mesh.devices.flat:
+        by_proc.setdefault(d.process_index, d)
+    devs = [by_proc[p] for p in sorted(by_proc)]
+    m1 = Mesh(np.array(devs), ("p",))
+    sharding = NamedSharding(m1, P("p"))
+    gshape = (len(devs),) + local.shape
+    # callback receives GLOBAL indices, but this process's only
+    # addressable shard is always its own single row
+    g = jax.make_array_from_callback(
+        gshape, sharding, lambda idx: local[None]
+    )
+    rep = jax.jit(
+        lambda x: x, out_shardings=NamedSharding(m1, P())
+    )(g)
+    return np.asarray(rep)
+
+
+def _shard_batch_multihost(batch: dict, mesh: Mesh, nproc: int) -> dict:
+    keys = sorted(k for k, v in batch.items() if hasattr(v, "ndim"))
+    # one shape vector per host (fixed layout: key-sorted, 8 dims max)
+    local_shapes = np.zeros((len(keys), 8), np.int32)
+    for i, k in enumerate(keys):
+        s = batch[k].shape
+        local_shapes[i, : len(s)] = s
+    all_shapes = _allgather_host_data(mesh, local_shapes)  # [P, K, 8]
+    global_dims = all_shapes.max(axis=0)
+
+    out = {k: v for k, v in batch.items() if not hasattr(v, "ndim")}
+    for i, k in enumerate(keys):
+        v = np.asarray(batch[k])
+        tgt = tuple(int(d) for d in global_dims[i, : v.ndim])
+        assert tgt[0] == v.shape[0], (
+            f"{k}: per-host batch dims differ ({v.shape[0]} vs {tgt[0]}) — "
+            "every host must load the same local batch size"
+        )
+        if tgt != v.shape:
+            v = np.pad(v, [(0, t - s) for s, t in zip(v.shape, tgt)])
+        sharding = batch_sharding(mesh, v.ndim)
+        global_shape = (v.shape[0] * nproc,) + v.shape[1:]
+        # assemble the global array from local rows: callback indices are
+        # GLOBAL; this host's rows start at the minimum row any of its
+        # addressable devices owns
+        imap = sharding.devices_indices_map(global_shape)
+        offset = min(
+            (imap[d][0].start or 0) for d in sharding.addressable_devices
+        )
+
+        def cb(idx, v=v, offset=offset):
+            r = idx[0]
+            lo = (r.start or 0) - offset
+            hi = (r.stop if r.stop is not None else offset + v.shape[0]) - offset
+            return v[(slice(lo, hi),) + tuple(idx[1:])]
+
+        out[k] = jax.make_array_from_callback(global_shape, sharding, cb)
     return out
 
 
@@ -122,6 +217,18 @@ def param_shardings(params, mesh: Mesh):
     )
 
 
+def device_put_global(x, sharding: NamedSharding):
+    """device_put that also works when `sharding` spans other hosts'
+    devices (plain jax.device_put rejects cross-host placement of a
+    host-local array).  Every host must hold the full value (true for
+    deterministic init and for checkpoints read by every host); the
+    global array is assembled from each host's addressable shards."""
+    if _mesh_process_count(sharding.mesh) == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def shard_params(params, mesh: Mesh):
     shardings = param_shardings(params, mesh)
-    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+    return jax.tree_util.tree_map(device_put_global, params, shardings)

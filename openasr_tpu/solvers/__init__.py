@@ -29,10 +29,16 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from openasr_tpu.models import _to_numpy
 from openasr_tpu.ops.fused_adam import fused_clip_adam
 from openasr_tpu.ops.schedules import BobSchedule, get_schedule
 from openasr_tpu.parallel import make_mesh, shard_batch
-from openasr_tpu.parallel.mesh import param_shardings, replicated
+from openasr_tpu.parallel.mesh import (
+    device_put_global,
+    mesh_process_index,
+    param_shardings,
+    replicated,
+)
 from openasr_tpu.utils import Timer
 from openasr_tpu.utils.checkpoint import (
     AsyncCheckpointer,
@@ -105,6 +111,9 @@ class Solver:
         self.cv_loss = []
 
         self.rng = jax.random.PRNGKey(seed)
+        # multi-host: host 0 of the MESH's backend owns checkpoint/metrics
+        # writes (jax.process_index() can answer for the wrong backend)
+        self.is_host0 = mesh_process_index(self.mesh) == 0
         self.tx = self._make_optimizer(config)
         params = self._place_params(model.params)
         self.model.params = params
@@ -197,7 +206,7 @@ class Solver:
 
     def _place_params(self, params):
         shardings = param_shardings(params, self.mesh)
-        return jax.tree_util.tree_map(jax.device_put, params, shardings)
+        return jax.tree_util.tree_map(device_put_global, params, shardings)
 
     def _place_opt_scalars(self, opt_state):
         """Commit any opt-state leaf that did not inherit a mesh sharding
@@ -208,7 +217,7 @@ class Solver:
             sh = getattr(leaf, "sharding", None)
             if isinstance(sh, jax.sharding.NamedSharding):
                 return leaf
-            return jax.device_put(leaf, rep)
+            return device_put_global(leaf, rep)
 
         return jax.tree_util.tree_map(place, opt_state)
 
@@ -498,6 +507,8 @@ class Solver:
                 return v.item()
             return v
 
+        if not getattr(self, "is_host0", True):
+            return  # multi-host: one metrics stream, written by host 0
         record = {"time": time.time(), **{k: _py(v) for k, v in record.items()}}
         with open(os.path.join(self.exp_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
@@ -598,18 +609,22 @@ class Solver:
                 else dict(self.config)
             ),
             "solver_state": self.training_state(),
-            "optim_state": jax.tree_util.tree_map(
-                np.asarray, self.opt_state
-            ),
+            "optim_state": _to_numpy(self.opt_state),
         }
         if self.is_bob:
             pkg["scheduler_state"] = self.schedule.pack_state()
         return pkg
 
     def save(self, path: str) -> None:
+        # package() first on EVERY host — fetching a cross-host-sharded
+        # leaf is a collective all-gather (models/__init__._to_numpy) —
+        # then host 0 alone writes the one checkpoint file
+        pkg = self.package()
+        if not getattr(self, "is_host0", True):
+            return
         if not hasattr(self, "_ckpt"):
             self._ckpt = AsyncCheckpointer()
-        self._ckpt.save(self.package(), path)
+        self._ckpt.save(pkg, path)
 
     def restore(self, pkg: dict) -> None:
         state = pkg["solver_state"]
@@ -637,7 +652,7 @@ class Solver:
             self.opt_state = jax.tree_util.tree_unflatten(
                 target,
                 [
-                    jax.device_put(np.asarray(l), c.sharding)
+                    device_put_global(np.asarray(l), c.sharding)
                     for l, c in zip(leaves, cur)
                 ],
             )
