@@ -191,10 +191,21 @@ def _ctc_backward(alphas, aux, g):
     occ = jnp.where(t_idx < logit_lengths[None, :, None], occ, 0.0)
     occ = jnp.moveaxis(occ, 0, 1)  # [B, T, S]
 
-    one_hot = jax.nn.one_hot(ext, v, dtype=occ.dtype)  # [B, S, V]
-    scatter = jnp.einsum(
-        "bts,bsv->btv", occ, one_hot, preferred_element_type=jnp.float32
+    # The scatter materializes a [B, T, V] tensor that is immediately
+    # subtracted from the recomputed softmax and cast to the logits dtype.
+    # Under bf16 training, emit it in bf16 directly (the MXU still
+    # accumulates f32 internally; only the final store rounds) — this
+    # halves the largest HBM write+read in the backward (~134 MB f32 at
+    # the flagship shape).  f32 logits (the parity-test path) keep an
+    # exact f32 scatter.
+    mm_dtype = (
+        jnp.bfloat16 if logits.dtype == jnp.bfloat16 else occ.dtype
     )
+    one_hot = jax.nn.one_hot(ext, v, dtype=mm_dtype)  # [B, S, V]
+    scatter = jnp.einsum(
+        "bts,bsv->btv", occ.astype(mm_dtype), one_hot,
+        preferred_element_type=mm_dtype,
+    ).astype(jnp.float32)
 
     valid_t = (
         lax.broadcasted_iota(jnp.int32, (b, t_max, 1), 1)

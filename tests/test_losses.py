@@ -108,6 +108,37 @@ def test_ce_matches_torch(smooth):
     np.testing.assert_allclose(got, float(want), rtol=1e-5)
 
 
+@pytest.mark.parametrize("smooth", [0.0, 0.1])
+def test_ce_gradients_match_torch(smooth):
+    """The closed-form CE (lse/mean/one-hot reductions, no log-prob tensor)
+    must autodiff to the textbook softmax-minus-target gradient."""
+    rng = np.random.RandomState(1)
+    b, u, v = 3, 7, 17
+    logits = rng.randn(b, u, v).astype(np.float32)
+    labels = rng.randint(0, v, size=(b, u)).astype(np.int32)
+    paddings = (rng.rand(b, u) > 0.6).astype(np.float32)
+
+    g_jax = np.asarray(
+        jax.grad(lambda x: cal_ce_loss(x, labels, paddings, smooth))(
+            jnp.asarray(logits)
+        )
+    )
+
+    x = torch.tensor(logits, requires_grad=True)
+    losses = F.cross_entropy(
+        x.view(-1, v), torch.tensor(labels).long().view(-1), reduction="none"
+    ).view(b, u) * (1 - torch.tensor(paddings))
+    want = losses.sum()
+    if smooth > 0:
+        logp = F.log_softmax(x, dim=-1)
+        ent = -logp.sum(-1) / v
+        want = want * (1 - smooth) + (
+            ent * (1 - torch.tensor(paddings))
+        ).sum() * smooth
+    want.backward()
+    np.testing.assert_allclose(g_jax, x.grad.numpy(), rtol=1e-4, atol=1e-6)
+
+
 def test_token_ce_masks_padding():
     logits = np.random.randn(1, 3, 5).astype(np.float32)
     labels = np.array([[1, 2, 3]], np.int32)

@@ -27,7 +27,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/openasr_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
-def build_step():
+def build_step(model_name="flagship"):
     import jax
     import jax.numpy as jnp
     import bench
@@ -36,7 +36,8 @@ def build_step():
     from openasr_tpu.parallel import make_mesh, shard_batch
     from openasr_tpu.solvers import array_fields, get_solver_class
 
-    cfg = Config(bench.flagship_cfg())
+    cfg_factory = {"flagship": bench.flagship_cfg, "cif": bench.cif_cfg}
+    cfg = Config(cfg_factory[model_name]())
     model = get_model_class(cfg.type).create_model(cfg, dtype=jnp.bfloat16)
     mesh = make_mesh(jax.devices()[:1], model=1)
     training = Config({
@@ -58,9 +59,9 @@ DOT_RE = re.compile(
     r"(dot|convolution)\(", re.M)
 
 
-def hlo_report():
+def hlo_report(model_name="flagship"):
     import jax
-    solver, batch, rng = build_step()
+    solver, batch, rng = build_step(model_name)
     params, opt_state = solver.model.params, solver.opt_state
     fn = solver._train_step
     # unwrap to the jitted callable
@@ -108,9 +109,9 @@ def hlo_report():
         print(f"cost_analysis unavailable: {e}")
 
 
-def trace_report(n_steps=5):
+def trace_report(n_steps=5, model_name="flagship"):
     import jax
-    solver, batch, rng = build_step()
+    solver, batch, rng = build_step(model_name)
     state = {"p": solver.model.params, "o": solver.opt_state}
 
     def step(i):
@@ -215,12 +216,13 @@ if __name__ == "__main__":
     ap.add_argument("--hlo", action="store_true")
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--fast", action="store_true")
+    ap.add_argument("--model", default="flagship", choices=["flagship", "cif"])
     args = ap.parse_args()
     if args.fast:
         os.environ["BENCH_FAST"] = "1"
     if not (args.hlo or args.trace):
         args.hlo = args.trace = True
     if args.hlo:
-        hlo_report()
+        hlo_report(args.model)
     if args.trace:
-        trace_report()
+        trace_report(model_name=args.model)
