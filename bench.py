@@ -298,12 +298,18 @@ def bench_torch_cpu() -> float:
         opt.step()
 
     step()  # warmup
+    # Time each step individually and score the baseline by its BEST step:
+    # this host's load varies enough to swing a single 3-step window by
+    # 2.5x between runs (measured 0.96 vs 2.46 utts/s), which made
+    # vs_baseline a lottery.  The fastest observed step is both stable and
+    # the conservative denominator (fastest torch = smallest speedup).
     n_steps = 1 if FAST else 3
-    t0 = time.time()
+    best = float("inf")
     for _ in range(n_steps):
+        t0 = time.time()
         step()
-    dt = time.time() - t0
-    return B * n_steps / dt
+        best = min(best, time.time() - t0)
+    return B / best
 
 
 def bench_decode_rtf() -> float:
