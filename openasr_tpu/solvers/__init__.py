@@ -512,6 +512,41 @@ class Solver:
         record = {"time": time.time(), **{k: _py(v) for k, v in record.items()}}
         with open(os.path.join(self.exp_dir, "metrics.jsonl"), "a") as f:
             f.write(json.dumps(record) + "\n")
+        self._tb_log(record)
+
+    def _tb_log(self, record: dict) -> None:
+        """Optional TensorBoard mirror of metrics.jsonl: every numeric
+        field becomes a `{phase}/{key}` scalar at the global step.  Enabled
+        by `training.tensorboard: true` or OPENASR_TENSORBOARD=1; restores
+        the loss/lr curves the reference README advertised but whose code
+        was lost (reference: src/utils.py:14 TENSORBOARD_LOGGING stub,
+        README_zh.md visualizations).  Degrades to a no-op if the
+        tensorboard writer is unavailable."""
+        enabled = bool(self.config.get("tensorboard", False)) or (
+            os.environ.get("OPENASR_TENSORBOARD") == "1"
+        )
+        if not enabled:
+            return
+        writer = getattr(self, "_tb_writer", None)
+        if writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                writer = SummaryWriter(os.path.join(self.exp_dir, "tb"))
+            except Exception as e:  # pragma: no cover - env without TB
+                logger.warning("tensorboard logging unavailable: %s", e)
+                writer = False
+            self._tb_writer = writer
+        if writer is False:
+            return
+        phase = str(record.get("phase", "train"))
+        step = int(record.get("step", 0))
+        for k, v in record.items():
+            if k in ("phase", "epoch", "step", "batch", "time"):
+                continue
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                writer.add_scalar(f"{phase}/{k}", float(v), step)
+        writer.flush()
 
     def _maybe_profile(self) -> None:
         """jax.profiler trace over a configured step window:

@@ -189,3 +189,35 @@ def test_infer_phone2char_cli(aux):
     hyp = (out_dir / "hyp.txt").read_text().strip().split("\n")
     ref = (out_dir / "ref.txt").read_text().strip().split("\n")
     assert len(hyp) == len(ref) == 12
+
+
+def test_tensorboard_metric_mirror(tmp_path):
+    """training.tensorboard: true mirrors metrics.jsonl scalars into a
+    TensorBoard event file (restores the reference README's advertised
+    tensorboardX curves; reference: src/utils.py:14)."""
+    pytest.importorskip("torch.utils.tensorboard")
+    from openasr_tpu.config import Config
+    from openasr_tpu.solvers import Solver
+
+    s = Solver.__new__(Solver)
+    s.exp_dir = str(tmp_path)
+    s.config = Config({"tensorboard": True})
+    s.is_host0 = True
+    s._log_metrics(
+        {"phase": "train", "epoch": 1, "step": 3, "loss": 2.5, "lr": 1e-3}
+    )
+    s._log_metrics({"phase": "epoch", "epoch": 1, "step": 3, "tr_loss": 2.0})
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    acc = EventAccumulator(os.path.join(str(tmp_path), "tb"))
+    acc.Reload()
+    tags = set(acc.Tags()["scalars"])
+    assert {"train/loss", "train/lr", "epoch/tr_loss"} <= tags
+    ev = acc.Scalars("train/loss")[0]
+    assert ev.step == 3 and abs(ev.value - 2.5) < 1e-6
+    # the jsonl stream is still written alongside
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().split("\n")
+    assert len(lines) == 2
