@@ -105,13 +105,11 @@ def fused_clip_adam(
             )
 
         out = jax.tree_util.tree_map(leaf, updates, state.mu, state.nu)
-        treedef = jax.tree_util.tree_structure(updates)
         new_updates = jax.tree_util.tree_map(
             lambda _, o: o[0], updates, out
         )
         new_mu = jax.tree_util.tree_map(lambda _, o: o[1], updates, out)
         new_nu = jax.tree_util.tree_map(lambda _, o: o[2], updates, out)
-        del treedef
         return new_updates, FusedClipAdamState(count_inc, new_mu, new_nu)
 
     return optax.GradientTransformation(init_fn, update_fn)

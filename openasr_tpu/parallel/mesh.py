@@ -53,7 +53,46 @@ def make_mesh(
         data = n // model
     assert data * model == n, f"mesh {data}x{model} != {n} devices"
     arr = np.array(devices).reshape(data, model)
+    _validate_multihost_layout(
+        np.array([[d.process_index for d in row] for row in arr])
+    )
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def _validate_multihost_layout(procs: np.ndarray) -> None:
+    """Reject multi-host mesh layouts the host-side batch plan cannot
+    serve, with a clear error instead of an opaque shard-shape crash deep
+    in `make_array_from_callback`.
+
+    `_shard_batch_multihost` (and the loader's rank/world row slicing)
+    assumes host r of w owns the process-contiguous block of data-axis
+    rows [r*data/w, (r+1)*data/w) — so (a) a tensor-parallel group (one
+    mesh row) may not span hosts, (b) the data axis must divide evenly by
+    the process count, and (c) each host's rows must be contiguous.
+    procs: [data, model] array of device process indices."""
+    nproc = len(set(procs.flat))
+    if nproc <= 1:
+        return
+    data = procs.shape[0]
+    if any(len(set(row)) != 1 for row in procs):
+        raise ValueError(
+            "model-parallel groups may not span hosts: each mesh row (one "
+            "tensor-parallel group of the (data, model) mesh) must live on "
+            f"a single process, got process layout {procs.tolist()}. Use "
+            "--model-parallel <= devices per host."
+        )
+    if data % nproc != 0:
+        raise ValueError(
+            f"data axis ({data}) must divide evenly across the "
+            f"{nproc} host processes for per-host batch row slicing"
+        )
+    k = data // nproc
+    row_proc = procs[:, 0]
+    if any(len(set(row_proc[i * k:(i + 1) * k])) != 1 for i in range(nproc)):
+        raise ValueError(
+            "data-axis rows must be process-contiguous (host r owns rows "
+            f"[r*{k}, (r+1)*{k})); got per-row processes {row_proc.tolist()}"
+        )
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

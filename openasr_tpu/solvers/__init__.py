@@ -34,7 +34,9 @@ from openasr_tpu.ops.fused_adam import fused_clip_adam
 from openasr_tpu.ops.schedules import BobSchedule, get_schedule
 from openasr_tpu.parallel import make_mesh, shard_batch
 from openasr_tpu.parallel.mesh import (
+    _allgather_host_data,
     device_put_global,
+    mesh_process_count,
     mesh_process_index,
     param_shardings,
     replicated,
@@ -309,22 +311,51 @@ class Solver:
     def _build_accum_steps(self):
         """Two-phase path for accumulate_grad_batch > 1: grads summed over
         micro-batches (matching the reference's repeated backward without
-        zero_grad, src/solvers/transformer.py:56-68)."""
+        zero_grad, src/solvers/transformer.py:56-68).  BatchNorm models
+        thread their running statistics through every micro-batch exactly
+        like the single-step path — dropping them here would leave
+        cross-validation normalizing with init-time stats forever."""
         tx = self.tx
+        has_bs = self.model.batch_stats is not None
 
-        @jax.jit
-        def grad_step(params, batch, rng, acc):
-            rngs = {"dropout": rng, "aug": jax.random.fold_in(rng, 1)}
+        if has_bs:
+            @jax.jit
+            def grad_step_bs(params, batch_stats, batch, rng, acc):
+                rngs = {"dropout": rng, "aug": jax.random.fold_in(rng, 1)}
 
-            def loss_fn(p):
-                losses = self.model_loss(p, batch, rngs, True)
-                return self.mix_losses(losses), losses
+                def loss_fn(p):
+                    losses = self.model_loss(
+                        p, batch, rngs, True, batch_stats=batch_stats
+                    )
+                    new_bs = losses.pop("batch_stats", batch_stats)
+                    return self.mix_losses(losses), (losses, new_bs)
 
-            (loss, losses), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(params)
-            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
-            return acc, loss, losses
+                (loss, (losses, new_bs)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+                return acc, new_bs, loss, losses
+
+            def grad_step(params, batch, rng, acc):
+                acc, new_bs, loss, losses = grad_step_bs(
+                    params, self.model.batch_stats, batch, rng, acc
+                )
+                self.model.batch_stats = new_bs
+                return acc, loss, losses
+        else:
+            @jax.jit
+            def grad_step(params, batch, rng, acc):
+                rngs = {"dropout": rng, "aug": jax.random.fold_in(rng, 1)}
+
+                def loss_fn(p):
+                    losses = self.model_loss(p, batch, rngs, True)
+                    return self.mix_losses(losses), losses
+
+                (loss, losses), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+                return acc, loss, losses
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def apply_step(params, opt_state, acc):
@@ -333,6 +364,41 @@ class Solver:
             return params, opt_state
 
         return grad_step, apply_step
+
+    # One shared accumulate/flush protocol for every epoch loop (base,
+    # CIF_MIX dual-loader, GAN): the cursor owns the acc-tree lifecycle,
+    # the boundary apply, and the optimizer/step bookkeeping, so the
+    # loops only decide WHEN a boundary falls (micro-batch count in the
+    # base loop vs iteration count in the dual-loader loops — that
+    # difference is reference semantics, src/solvers/transformer.py:56-68
+    # vs cif.py:430-503).
+
+    def _accum_begin(self) -> dict:
+        if self._grad_accum is None:
+            self._grad_accum = self._build_accum_steps()
+        return {"acc": None, "n": 0}
+
+    def _accum_micro(self, cur: dict, params, arrays, rng):
+        """One accumulated micro-batch; returns (loss, losses)."""
+        grad_step, _ = self._grad_accum
+        if cur["acc"] is None:
+            cur["acc"] = jax.tree_util.tree_map(jnp.zeros_like, params)
+        cur["acc"], loss, losses = grad_step(params, arrays, rng, cur["acc"])
+        cur["n"] += 1
+        return loss, losses
+
+    def _accum_maybe_apply(self, cur: dict, params, boundary: bool):
+        """On a boundary (or the epoch-end remainder), apply the summed
+        grads, advance opt_state/step, and reset the cursor; returns the
+        (possibly updated) params."""
+        if not boundary or cur["acc"] is None:
+            return params
+        _, apply_step = self._grad_accum
+        params, self.opt_state = apply_step(params, self.opt_state, cur["acc"])
+        self.model.params = params
+        cur["acc"] = None
+        self.step += 1
+        return params
 
     # ----------------------------------------------------------- epoch loops
     #
@@ -398,19 +464,16 @@ class Solver:
         timer.tic()
         totals = ({}, None, None)
 
+        accum_cur = None
         if not cross_valid and self.accumulate_grad_batch > 1:
-            if self._grad_accum is None:
-                self._grad_accum = self._build_accum_steps()
-            grad_step, apply_step = self._grad_accum
-            acc = jax.tree_util.tree_map(jnp.zeros_like, self.model.params)
-            n_accu = 0
+            accum_cur = self._accum_begin()
 
         tot_iters = len(loader)
         params = self.model.params
         for niter, (batch, arrays) in enumerate(
             self._prefetch_batches(loader), start=1
         ):
-            if getattr(self, "_stop_requested", False) and not cross_valid:
+            if not cross_valid and self._should_stop():
                 logger.warning(
                     "preemption: stopping epoch %d at batch %d/%d",
                     self.epoch, niter, tot_iters,
@@ -424,17 +487,15 @@ class Solver:
             else:
                 self._maybe_profile()
                 rng = jax.random.fold_in(self.rng, self.step * 8191 + niter)
-                if self.accumulate_grad_batch > 1:
-                    acc, loss, losses = grad_step(params, arrays, rng, acc)
-                    n_accu += 1
-                    if n_accu == self.accumulate_grad_batch or niter == tot_iters:
-                        params, self.opt_state = apply_step(
-                            params, self.opt_state, acc
-                        )
-                        self.model.params = params
-                        acc = jax.tree_util.tree_map(jnp.zeros_like, params)
-                        n_accu = 0
-                        self.step += 1
+                if accum_cur is not None:
+                    loss, losses = self._accum_micro(
+                        accum_cur, params, arrays, rng
+                    )
+                    params = self._accum_maybe_apply(
+                        accum_cur, params,
+                        accum_cur["n"] % self.accumulate_grad_batch == 0
+                        or niter == tot_iters,
+                    )
                 else:
                     params, self.opt_state, loss, losses = self._train_step(
                         params, self.opt_state, arrays, rng
@@ -488,6 +549,26 @@ class Solver:
                 signal.signal(sig, _handler)
             except (ValueError, OSError):  # pragma: no cover
                 pass
+
+    def _should_stop(self) -> bool:
+        """Preemption stop, agreed COLLECTIVELY across hosts.  A SIGTERM
+        may be delivered to a subset of processes, but everything that
+        follows a stop — multi-host batch assembly, collective checkpoint
+        packaging — is a collective: a one-sided break would wedge every
+        other host in a collective the stopped host never joins.  All
+        hosts reach this check at the same iteration (identical batch
+        plans), so a tiny cross-host OR of the local flags makes the
+        decision unanimous; single-process runs short-circuit to the
+        local flag."""
+        local = bool(getattr(self, "_stop_requested", False))
+        mesh = getattr(self, "mesh", None)
+        if mesh is None or mesh_process_count(mesh) <= 1:
+            return local
+        flags = _allgather_host_data(mesh, np.asarray([local], np.int32))
+        if bool(flags.any()):
+            self._stop_requested = True
+            return True
+        return False
 
     def sample_decode(self, params, arrays, batch) -> None:
         """Hook: log a sample decode on the first dev batch (no-op by
@@ -584,7 +665,7 @@ class Solver:
             t0 = time.time()
             self.epoch += 1
             tr_loss = self.iter_one_epoch()
-            if getattr(self, "_stop_requested", False):
+            if self._should_stop():
                 # preempted mid-epoch: persist a restartable snapshot (the
                 # interrupted epoch restarts from its beginning under
                 # --continue-training) and leave.  The reference had no

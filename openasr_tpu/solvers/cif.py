@@ -75,10 +75,6 @@ class CIFMIXSolver(CIFCTCSolver):
         if cross_valid or self.acoustic_loader is None:
             return super().iter_one_epoch(cross_valid)
 
-        if self._grad_accum is None:
-            self._grad_accum = self._build_accum_steps()
-        grad_step, apply_step = self._grad_accum
-
         timer = Timer()
         timer.tic()
         totals = ({}, None, None)  # device-side, base-loop policy
@@ -92,9 +88,9 @@ class CIFMIXSolver(CIFCTCSolver):
         # (src/solvers/cif.py:430-503: `n_accu_batch -= 1; if n_accu_batch
         # == 0 or niter == tot_iter_num: ... optimizer.step()`)
         accum = max(1, int(self.config.get("accumulate_grad_batch", 1)))
-        acc = None
+        cur = self._accum_begin()
         for niter, ac_batch in enumerate(iter(self.acoustic_loader), start=1):
-            if getattr(self, "_stop_requested", False):
+            if self._should_stop():
                 logger.warning(
                     "preemption: stopping epoch %d at batch %d/%d",
                     self.epoch, niter, tot_iters,
@@ -102,22 +98,16 @@ class CIFMIXSolver(CIFCTCSolver):
                 break
             self._maybe_profile()
             paired = next(paired_cycle)
-            if acc is None:
-                acc = jax.tree_util.tree_map(jnp.zeros_like, params)
             base_rng = jax.random.fold_in(self.rng, self.step * 8191 + niter)
             for j, batch in enumerate((ac_batch, paired)):
                 arrays = shard_batch(array_fields(batch), self.mesh)
-                acc, loss, losses = grad_step(
-                    params, arrays, jax.random.fold_in(base_rng, j), acc
+                loss, losses = self._accum_micro(
+                    cur, params, arrays, jax.random.fold_in(base_rng, j)
                 )
                 totals = self._totals_update(totals, losses)
-            if niter % accum == 0 or niter == tot_iters:
-                params, self.opt_state = apply_step(
-                    params, self.opt_state, acc
-                )
-                self.model.params = params
-                acc = None
-                self.step += 1
+            params = self._accum_maybe_apply(
+                cur, params, niter % accum == 0 or niter == tot_iters
+            )
 
             if niter % self.print_inteval == 0:
                 self._totals_log(totals, timer, niter, tot_iters, "train")

@@ -102,14 +102,15 @@ class Phone2CharCTCGANSolver(Phone2CharCTCSolver):
         # optimizer steps on the boundary or at epoch end
         # (src/solvers/phone2char.py:272-316)
         accum = max(1, int(self.config.get("accumulate_grad_batch", 1)))
-        grad_step = apply_step = None
-        if accum > 1:
-            if self._grad_accum is None:
-                self._grad_accum = self._build_accum_steps()
-            grad_step, apply_step = self._grad_accum
-        acc = None
+        cur = self._accum_begin() if accum > 1 else None
         tot_iters = len(self.phone_loader)
         for niter, phone_batch in enumerate(iter(self.phone_loader), 1):
+            if self._should_stop():
+                logger.warning(
+                    "preemption: stopping epoch %d at batch %d/%d",
+                    self.epoch, niter, tot_iters,
+                )
+                break
             paired = next(paired_cycle)
             text = next(text_cycle)
             combined = dict(array_fields(paired))
@@ -119,17 +120,11 @@ class Phone2CharCTCGANSolver(Phone2CharCTCSolver):
             combined["unpaired_text_lengths"] = text["token_lengths"]
             arrays = shard_batch(combined, self.mesh)
             rng = jax.random.fold_in(self.rng, self.step * 8191 + niter)
-            if accum > 1:
-                if acc is None:
-                    acc = jax.tree_util.tree_map(jnp.zeros_like, params)
-                acc, loss, losses = grad_step(params, arrays, rng, acc)
-                if niter % accum == 0 or niter == tot_iters:
-                    params, self.opt_state = apply_step(
-                        params, self.opt_state, acc
-                    )
-                    self.model.params = params
-                    acc = None
-                    self.step += 1
+            if cur is not None:
+                loss, losses = self._accum_micro(cur, params, arrays, rng)
+                params = self._accum_maybe_apply(
+                    cur, params, niter % accum == 0 or niter == tot_iters
+                )
             else:
                 params, self.opt_state, loss, losses = self._train_step(
                     params, self.opt_state, arrays, rng

@@ -17,6 +17,7 @@ import sys
 pid, nprocs, port, outdir = (
     int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
 )
+mode = sys.argv[5] if len(sys.argv) > 5 else "train"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
@@ -64,6 +65,22 @@ batch = global_batch()
 b = batch["feats"].shape[0]
 k = b // nprocs
 local = {key: v[pid * k : (pid + 1) * k] for key, v in batch.items()}
+
+if mode == "preempt":
+    # One-sided preemption: ONLY host 0 receives the stop signal.  The
+    # collective stop check (Solver._should_stop) must propagate it so
+    # host 1 neither hangs in the next batch-assembly collective nor
+    # keeps training alone; both hosts then join the collective
+    # checkpoint packaging and exit cleanly.
+    solver.tr_loader = [dict(local) for _ in range(3)]
+    solver.cv_loader = []
+    if pid == 0:
+        solver._stop_requested = True
+    solver.train()
+    if hasattr(solver, "_ckpt"):
+        solver._ckpt.wait()
+    print(f"worker {pid}: preempt done step={solver.step}", flush=True)
+    sys.exit(0)
 if pid == 1:
     # this host's collate saw shorter utterances: its padded T is one
     # quantization bucket below the other host's — shard_batch must

@@ -139,3 +139,44 @@ def test_gan_accumulation_boundary(tmp_path, accum, n_batches, want_updates):
     assert [c1 - c0 for c0, c1 in zip(counts0, counts1)] == (
         [want_updates] * len(counts0)
     )
+
+
+def test_accum_threads_batch_stats(tmp_path):
+    """accumulate_grad_batch > 1 must update BatchNorm running statistics
+    exactly like the single-step path — the grad-accumulation micro-steps
+    thread batch_stats through and write the final collection back."""
+    rng = np.random.RandomState(2)
+    cfg = Config({
+        "type": "gru_ctc",
+        "signal": {"d_model": 16},
+        "encoder": {"d_input": 16, "d_model": 16, "n_layers": 1,
+                    "dropout": 0.0},
+        "decoder": {"vocab_size": 10},
+    })
+    model = get_model_class("gru_ctc").create_model(cfg)
+
+    n = 160 * 12
+    def wave_batch():
+        return {
+            "waves": rng.randn(2, n).astype(np.float32),
+            "wave_lengths": np.array([n, n - 320], np.int32),
+            "ids": rng.randint(1, 8, (2, 3)).astype(np.int32),
+            "labels": rng.randint(1, 8, (2, 3)).astype(np.int32),
+            "paddings": np.zeros((2, 3), np.float32),
+        }
+
+    solver = get_solver_class("gru_ctc")(
+        model, _training(tmp_path, 2), [wave_batch() for _ in range(2)],
+        [], mesh=make_mesh(jax.devices("cpu")[:1]),
+    )
+    before = [
+        np.asarray(x).copy()
+        for x in jax.tree_util.tree_leaves(solver.model.batch_stats)
+    ]
+    tr = solver.iter_one_epoch()
+    assert np.isfinite(tr)
+    after = jax.tree_util.tree_leaves(solver.model.batch_stats)
+    assert len(before) == len(after) > 0
+    assert any(
+        not np.allclose(b, np.asarray(a)) for b, a in zip(before, after)
+    ), "running statistics never moved under grad accumulation"

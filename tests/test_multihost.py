@@ -129,3 +129,38 @@ def test_two_process_training_parity(tmp_path):
         np.testing.assert_allclose(
             p0[k], flat[k], rtol=2e-3, atol=2e-5, err_msg=k
         )
+
+
+@pytest.mark.slow
+def test_one_sided_preemption_stops_both_hosts(tmp_path):
+    """SIGTERM delivered to ONE host must stop the whole job: the stop
+    decision is a cross-host collective OR (Solver._should_stop), so the
+    unsignaled host neither hangs in the next batch-assembly collective
+    nor trains on alone, and both hosts join the collective checkpoint
+    packaging.  A hang here -> the 300 s timeout fails the test."""
+    port = _free_port()
+    outdir = str(tmp_path)
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", str(port), outdir,
+             "preempt"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    try:
+        outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+        assert "preempt done" in out
+    # the preemption snapshot was written (by host 0's collective save)
+    assert os.path.exists(os.path.join(outdir, "exp", "last.pkg"))

@@ -398,3 +398,32 @@ def test_tensor_parallel_resume(tmp_path):
     res = jax.tree_util.tree_map(np.asarray, jax.device_get(params_res))
     assert np.isclose(float(loss_res), float(loss_cont), rtol=1e-5)
     _params_allclose(res, cont, 1e-4, 1e-6, "resumed")
+
+
+def test_multihost_mesh_layout_validation():
+    """Multi-host layouts the batch plan cannot serve are rejected at mesh
+    construction with a clear error (not an opaque shard-shape crash):
+    TP groups spanning hosts, non-divisible data axis, non-contiguous
+    host blocks."""
+    import numpy as np
+    import pytest as _pytest
+
+    from openasr_tpu.parallel.mesh import _validate_multihost_layout
+
+    # single-host: anything goes
+    _validate_multihost_layout(np.zeros((4, 2), np.int64))
+    # 2 hosts, clean dp4 x tp2 with per-host contiguous rows
+    ok = np.array([[0, 0], [0, 0], [1, 1], [1, 1]])
+    _validate_multihost_layout(ok)
+    # TP group spanning hosts (mesh (data=1, model=8) over 2 hosts)
+    bad_tp = np.array([[0, 0, 0, 0, 1, 1, 1, 1]])
+    with _pytest.raises(ValueError, match="may not span hosts"):
+        _validate_multihost_layout(bad_tp)
+    # data axis not divisible by process count
+    bad_div = np.array([[0], [0], [1]])
+    with _pytest.raises(ValueError, match="divide evenly"):
+        _validate_multihost_layout(bad_div)
+    # interleaved (non-contiguous) host rows
+    bad_order = np.array([[0], [1], [0], [1]])
+    with _pytest.raises(ValueError, match="process-contiguous"):
+        _validate_multihost_layout(bad_order)

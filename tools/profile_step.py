@@ -54,11 +54,6 @@ def build_step(model_name="flagship"):
     return solver, batch, rng
 
 
-DOT_RE = re.compile(
-    r"^\s*%?[\w.\-]+ = (\w+)\[([\d,]*)\][^=]*?"
-    r"(dot|convolution)\(", re.M)
-
-
 def hlo_report(model_name="flagship"):
     import jax
     solver, batch, rng = build_step(model_name)
