@@ -12,6 +12,7 @@ from __future__ import annotations
 import io
 import struct
 import subprocess
+import threading
 from typing import BinaryIO, Iterator, Tuple
 
 import numpy as np
@@ -99,14 +100,53 @@ def _read_text_mat(f: BinaryIO, first: bytes) -> np.ndarray:
     return np.array(rows, dtype=np.float32)
 
 
-def read_mat_fd(f: BinaryIO) -> np.ndarray:
+class _Pushback:
+    """Minimal read(n) wrapper serving a prefix of already-read bytes
+    before the underlying stream — lets the FM fast path read its header
+    in one call and still fall back to the byte-wise parser for the other
+    matrix flavors without seeking (pipes cannot seek)."""
+
+    def __init__(self, prefix: bytes, f: BinaryIO):
+        self._prefix = prefix
+        self._f = f
+
+    def read(self, n: int = -1) -> bytes:
+        if self._prefix:
+            if n < 0:
+                out, self._prefix = self._prefix, b""
+                return out + self._f.read(n)
+            out, self._prefix = self._prefix[:n], self._prefix[n:]
+            if len(out) < n:
+                out += self._f.read(n - len(out))
+            return out
+        return self._f.read(n)
+
+
+def read_mat_fd(f: BinaryIO, writable: bool = True) -> np.ndarray:
+    """One matrix from an open stream.  writable=False skips the final
+    defensive copy for float32 matrices (the result may be a read-only
+    view of the read buffer) — the batch collates copy rows into the
+    padded batch array anyway, and the copy measured ~15% of the offline
+    data pipeline."""
     binary = f.read(2)
     if binary == b"\x00B":
+        # Fast path: the overwhelmingly common "FM \x04<rows>\x04<cols>"
+        # float-matrix header in ONE read instead of ~8 byte-wise reads
+        # (header parsing was ~20% of pipeline time at 9 reads/matrix).
+        hdr = f.read(13)
+        if len(hdr) == 13 and hdr[:4] == b"FM \x04" and hdr[8:9] == b"\x04":
+            rows = struct.unpack("<i", hdr[4:8])[0]
+            cols = struct.unpack("<i", hdr[9:13])[0]
+            data = np.frombuffer(f.read(4 * rows * cols), dtype="<f4")
+            data = data.reshape(rows, cols)
+            return data.copy() if writable else data
+        f = _Pushback(hdr, f)
         tok = _read_token(f)
         if tok == b"FM":
             rows, cols = _read_int32(f), _read_int32(f)
             data = np.frombuffer(f.read(4 * rows * cols), dtype="<f4")
-            return data.reshape(rows, cols).copy()
+            data = data.reshape(rows, cols)
+            return data.copy() if writable else data
         if tok == b"DM":
             rows, cols = _read_int32(f), _read_int32(f)
             data = np.frombuffer(f.read(8 * rows * cols), dtype="<f8")
@@ -121,11 +161,43 @@ def read_mat_fd(f: BinaryIO) -> np.ndarray:
     return _read_text_mat(f, binary)
 
 
-def read_mat(path: str) -> np.ndarray:
+_fd_cache_local = threading.local()
+
+
+def _cached_ark_fd(path: str, offset: int) -> BinaryIO:
+    """Thread-local cache of open ark file handles for 'path:offset'
+    reads: a training epoch issues one read_mat per utterance against a
+    handful of ark files, and open/close was ~10% of pipeline time.
+    Thread-local because prefetch threads seek independently."""
+    cache = getattr(_fd_cache_local, "cache", None)
+    if cache is None:
+        cache = _fd_cache_local.cache = {}
+    f = cache.get(path)
+    if f is None or f.closed:
+        if len(cache) >= 32:
+            for old in cache.values():
+                old.close()
+            cache.clear()
+        f = cache[path] = open(path, "rb")
+    f.seek(offset)
+    return f
+
+
+def read_mat(path: str, writable: bool = True) -> np.ndarray:
     """Read one matrix from 'file', 'file:offset', or 'cmd |'."""
+    if (
+        ":" in path
+        and not path.rstrip().endswith("|")
+        and not path.lstrip().startswith("|")
+    ):
+        head, tail = path.rsplit(":", 1)
+        if tail.isdigit():
+            return read_mat_fd(
+                _cached_ark_fd(head, int(tail)), writable=writable
+            )
     f = open_or_fd(path)
     try:
-        return read_mat_fd(f)
+        return read_mat_fd(f, writable=writable)
     finally:
         f.close()
 

@@ -338,3 +338,50 @@ def test_write_wav_roundtrip(tmp_path):
     write_wav(path2, 8000, stereo)
     s_rate2, s_data2 = scipy_wav.read(path2)
     assert s_rate2 == 8000 and s_data2.shape == (800, 2)
+
+
+def test_read_mat_fast_path_and_fd_cache(tmp_path):
+    """The one-read FM header fast path, the writable=False no-copy mode,
+    and the thread-local ark FD cache must all reproduce the plain
+    reader bit-for-bit across repeated and interleaved offset reads."""
+    import threading
+
+    from openasr_tpu.data import kaldi_io
+
+    rng = np.random.RandomState(7)
+    path = str(tmp_path / "cache.ark")
+    mats, offsets = [], []
+    with open(path, "wb") as f:
+        for i in range(8):
+            m = rng.randn(5 + i, 3).astype(np.float32)
+            offsets.append(kaldi_io.write_mat(f, m, f"u{i}"))
+            mats.append(m)
+
+    # repeated + out-of-order reads through the cached-FD path
+    for i in [3, 0, 7, 3, 1]:
+        got = kaldi_io.read_mat(f"{path}:{offsets[i]}")
+        np.testing.assert_array_equal(got, mats[i])
+        ro = kaldi_io.read_mat(f"{path}:{offsets[i]}", writable=False)
+        np.testing.assert_array_equal(ro, mats[i])
+    assert not kaldi_io.read_mat(
+        f"{path}:{offsets[0]}", writable=False
+    ).flags.writeable
+
+    # each thread gets its own FD: interleaved seeks cannot race
+    errs = []
+
+    def reader():
+        try:
+            for i in range(8):
+                np.testing.assert_array_equal(
+                    kaldi_io.read_mat(f"{path}:{offsets[i]}"), mats[i]
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
