@@ -188,3 +188,62 @@ class Framework:
         if "feats" in batch:
             return batch["feats"], batch["feat_lengths"]
         return batch["waves"], batch["wave_lengths"]
+
+    def attention_maps(self, batch: dict, average_heads: bool = False):
+        """Attention distributions of a deterministic forward, as
+        {module_path: [B, H, Tq, Tk] float32} (head-averaged [B, Tq, Tk]
+        with average_heads, matching what torch's MHA returned through the
+        reference's `return_atten`, third_party/transformer.py:161-189 —
+        the basis of its TensorBoard attention visualizations).
+
+        Runs the dense XLA attention path (the flash kernel never
+        materializes probabilities) and captures the weights sown as flax
+        'intermediates' by MultiHeadAttention — zero cost to training,
+        where the sow is dead code and XLA removes it."""
+        import inspect
+
+        import openasr_tpu.kernels as kernels
+
+        inputs, lengths = self.batch_inputs(batch)
+        call = type(self.module).__call__
+        n_pos = len([
+            p for p in inspect.signature(call).parameters
+            if p not in ("self", "deterministic")
+        ])
+        if n_pos == 2:
+            args = (inputs, lengths)
+        elif n_pos == 4:
+            from openasr_tpu.models.speech import target_lengths_of
+
+            args = (
+                inputs, lengths, batch["ids"],
+                target_lengths_of(batch["paddings"]),
+            )
+        else:
+            raise NotImplementedError(
+                f"attention_maps: unsupported forward arity for "
+                f"{type(self.module).__name__}"
+            )
+        prev = kernels._override
+        kernels.set_flash_attention(False)
+        try:
+            _, inter = self.module.apply(
+                self.variables, *args, deterministic=True,
+                mutable=["intermediates"],
+            )
+        finally:
+            kernels.set_flash_attention(prev)
+
+        maps = {}
+
+        def walk(tree, path):
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    walk(v, path + (k,))
+            else:  # sow stores a tuple of occurrences
+                for i, v in enumerate(tree):
+                    key = "/".join(path[:-1]) + ("" if len(tree) == 1 else f"#{i}")
+                    maps[key] = jnp.mean(v, axis=1) if average_heads else v
+
+        walk(inter["intermediates"], ())
+        return maps

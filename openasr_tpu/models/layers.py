@@ -100,10 +100,12 @@ def dot_product_attention(
     dropout_rate: float = 0.0,
     deterministic: bool = True,
     dropout_rng: Optional[jax.Array] = None,
+    return_probs: bool = False,
 ) -> jnp.ndarray:
     """q [B,Tq,H,D], k/v [B,Tk,H,D], bias [B|1, 1|H, Tq, Tk] -> [B,Tq,H,D].
 
     Softmax in fp32 for stability; matmuls hit the MXU in the input dtype.
+    return_probs additionally returns the [B,H,Tq,Tk] attention weights.
     """
     depth = q.shape[-1]
     scores = jnp.einsum(
@@ -115,6 +117,8 @@ def dot_product_attention(
     if dropout_rate > 0.0 and not deterministic:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = probs * keep / (1.0 - dropout_rate)
+    if return_probs:
+        return jnp.einsum("bhqk,bkhd->bqhd", probs, v), probs
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
@@ -209,9 +213,15 @@ class MultiHeadAttention(nn.Module):
             if (self.dropout_rate > 0.0 and not deterministic)
             else None
         )
-        out = dot_product_attention(
-            q, k, v, bias, self.dropout_rate, deterministic, rng
+        out, probs = dot_product_attention(
+            q, k, v, bias, self.dropout_rate, deterministic, rng,
+            return_probs=True,
         )
+        # Attention-map capture (reference: third_party/transformer.py
+        # return_atten, used for the README's TensorBoard visualizations).
+        # sow is dead code unless apply() passes mutable=['intermediates']
+        # (Framework.attention_maps) — XLA removes it from the train step.
+        self.sow("intermediates", "attn", probs.astype(jnp.float32))
         return self.out_proj(out)
 
     def project_kv(self, inputs_kv: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -229,3 +229,52 @@ def test_remat_layers_match_baseline():
     assert float(l0) == float(l1)
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attention_maps_capture():
+    """Framework.attention_maps returns every attention distribution of a
+    deterministic forward (parity with the reference vendored
+    transformer's return_atten, third_party/transformer.py:161-189):
+    per-layer encoder self / decoder self / decoder cross maps, rows
+    normalized, padded key frames carrying ~zero mass."""
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+
+    cfg = Config({
+        "type": "conv-ctc-transformer", "add_eos": True, "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 16, "nhead": 2,
+                    "dim_feedforward": 32, "activation": "relu",
+                    "num_layers": 2, "dropout_rate": 0.1},
+        "decoder": {"type": "TransformerDecoder", "vocab_size": 11,
+                    "d_model": 16, "nhead": 2, "num_layers": 1,
+                    "encoder_dim": 16, "dim_feedforward": 32,
+                    "activation": "relu", "dropout_rate": 0.1},
+    })
+    m = get_model_class(cfg.type).create_model(cfg)
+    rng = np.random.RandomState(0)
+    batch = {
+        "feats": rng.randn(2, 24, 20).astype(np.float32),
+        "feat_lengths": np.array([24, 12], np.int32),
+        "ids": rng.randint(3, 10, (2, 5)).astype(np.int32),
+        "labels": rng.randint(3, 10, (2, 5)).astype(np.int32),
+        "paddings": np.zeros((2, 5), np.float32),
+    }
+    maps = m.attention_maps(batch)
+    assert {
+        "encoder/layer0/self_attn", "encoder/layer1/self_attn",
+        "decoder/layer0/self_attn", "decoder/layer0/cross_attn",
+    } <= set(maps)
+    enc = np.asarray(maps["encoder/layer0/self_attn"])  # [B, H, Tq, Tk]
+    assert enc.ndim == 4 and enc.shape[1] == 2
+    np.testing.assert_allclose(enc.sum(-1), 1.0, atol=1e-5)
+    # row 1 is only 12 frames -> (12-1)//2 = 5 valid encoder positions
+    # after the 1-layer ConvV2; the padded tail must get no weight
+    valid = (12 - 1) // 2
+    assert enc[1, :, :, valid:].max() < 1e-6
+    cross = np.asarray(maps["decoder/layer0/cross_attn"])
+    assert cross.shape[-2:] == (5, enc.shape[-1])
+    avg = m.attention_maps(batch, average_heads=True)
+    assert np.asarray(avg["encoder/layer0/self_attn"]).shape == enc[:, 0].shape
