@@ -30,6 +30,24 @@ from openasr_tpu.kernels.flash_attention import flash_attention  # noqa: F401
 
 _override: Optional[bool] = None
 
+# SPMD partitioning rules for the Pallas kernels (kernels/partition.py).
+# Wrapping a kernel in custom_partitioning inserts a custom-call boundary
+# that costs ~0.5 ms/step on a single chip (it blocks fusion around the
+# kernel and the LayerNorm dgamma/dbeta fall back to XLA reductions), and
+# buys nothing there — so it is enabled exactly when a >1-device mesh is
+# built (make_mesh) and off otherwise.  Users jitting kernels manually
+# under their own multi-device pjit must call set_spmd_partitioning(True).
+_spmd_partitioning: bool = False
+
+
+def set_spmd_partitioning(on: bool) -> None:
+    global _spmd_partitioning
+    _spmd_partitioning = bool(on)
+
+
+def spmd_partitioning_enabled() -> bool:
+    return _spmd_partitioning
+
 
 _KNOWN_PLATFORMS = ("cpu", "tpu", "gpu", "cuda", "rocm")
 

@@ -127,19 +127,41 @@ def fused_fbank_from_frames(
     kernel = functools.partial(
         _fbank_kernel, use_log=bool(cfg.use_log_fbank)
     )
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, t_p // block_t),
+
+    # Shapes/grid derived inside core: under SPMD (kernels/partition.py)
+    # the batch dim runs sharded and each chip fbanks only its own rows.
+    def core(frames, mc, ms, mel_t):
+        bl, t_l = frames.shape[0], frames.shape[1]
+        return pl.pallas_call(
+            kernel,
+            grid=(bl, t_l // block_t),
+            in_specs=[
+                pl.BlockSpec((1, block_t, ws), lambda i, j: (i, j, 0)),
+                pl.BlockSpec((ws, mc.shape[1]), lambda i, j: (0, 0)),
+                pl.BlockSpec((ws, ms.shape[1]), lambda i, j: (0, 0)),
+                pl.BlockSpec((mel_t.shape[0], mp), lambda i, j: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_t, mp), lambda i, j: (i, j, 0)),
+            out_shape=jax.ShapeDtypeStruct((bl, t_l, mp), jnp.float32),
+            interpret=interpret,
+        )(frames, mc, ms, mel_t)
+
+    from openasr_tpu.kernels.partition import maybe_partition
+
+    core_p = maybe_partition(
+        core,
         in_specs=[
-            pl.BlockSpec((1, block_t, ws), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((ws, mc.shape[1]), lambda i, j: (0, 0)),
-            pl.BlockSpec((ws, ms.shape[1]), lambda i, j: (0, 0)),
-            pl.BlockSpec((mel_t.shape[0], mp), lambda i, j: (0, 0)),
+            ("b", "t", "ws"),
+            ("ws", "mcc"),
+            ("ws", "msc"),
+            ("melr", "melc"),
         ],
-        out_specs=pl.BlockSpec((1, block_t, mp), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, t_p, mp), jnp.float32),
-        interpret=interpret,
-    )(frames, jnp.asarray(mc), jnp.asarray(ms), jnp.asarray(mel_t))
+        out_specs=[("b", "t", "melc")],
+        shardable={"b"},
+    )
+    out = core_p(
+        frames, jnp.asarray(mc), jnp.asarray(ms), jnp.asarray(mel_t)
+    )
     return out[:, :t, : cfg.num_mel_bins]
 
 

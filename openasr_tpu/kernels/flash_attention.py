@@ -409,38 +409,59 @@ _SEED_SPEC = pl.BlockSpec(memory_space=pltpu.SMEM)
 
 def _fwd_padded(q, k, v, bias, seed, causal, sm_scale, block_q, block_k,
                 dropout_rate, interpret):
-    b, h, tq, d = q.shape
-    tk = k.shape[2]
-    grid = (b, tq // block_q, tk // block_k)
-    kernel = functools.partial(
-        _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k, dropout_rate=dropout_rate, nheads=h,
-    )
-    out, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
+    # All shapes/grids are derived INSIDE core from its (possibly local)
+    # argument shapes: under SPMD the partitioner (kernels/partition.py)
+    # runs core per-shard with the batch/head dims divided across chips.
+    def core(seed, q, k, v, bias):
+        b, h, tq, d = q.shape
+        tk = k.shape[2]
+        grid = (b, tq // block_q, tk // block_k)
+        kernel = functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
+            block_k=block_k, dropout_rate=dropout_rate, nheads=h,
+        )
+        out, lse = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                _SEED_SPEC,
+                pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
+                pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
+                pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda i, l, m: (i, 0, m)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
+                pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, l, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h, tq, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((h, block_q, 1), jnp.float32),
+                pltpu.VMEM((h, block_q, 1), jnp.float32),
+                pltpu.VMEM((h, block_q, d), jnp.float32),
+            ],
+            interpret=interpret,
+        )(seed, q, k, v, bias)
+        return out, lse
+
+    from openasr_tpu.kernels.partition import maybe_partition
+
+    core_p = maybe_partition(
+        core,
         in_specs=[
-            _SEED_SPEC,
-            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
-            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
-            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda i, l, m: (i, 0, m)),
+            ("s",),
+            ("b", "h", "tq", "d"),
+            ("b", "h", "tk", "d"),
+            ("b", "h", "tk", "d"),
+            ("b", "bone", "tk"),
         ],
-        out_specs=[
-            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
-            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, l, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, h, tq, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, tq, 1), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((h, block_q, 1), jnp.float32),
-            pltpu.VMEM((h, block_q, 1), jnp.float32),
-            pltpu.VMEM((h, block_q, d), jnp.float32),
-        ],
-        interpret=interpret,
-    )(seed, q, k, v, bias)
+        out_specs=[("b", "h", "tq", "d"), ("b", "h", "tq", "lone")],
+        shardable={"b", "h"},
+    )
+    out, lse = core_p(seed, q, k, v, bias)
     return out, lse
 
 
@@ -448,69 +469,97 @@ def _bwd_padded(
     q, k, v, bias, seed, o, lse, do, causal, sm_scale, block_q, block_k,
     dropout_rate, interpret
 ):
-    b, h, tq, d = q.shape
-    tk = k.shape[2]
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True
     )  # [B, H, Tq, 1]
 
-    dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k, dropout_rate=dropout_rate, nheads=h,
-    )
-    dk, dv = pl.pallas_call(
-        dkv_kernel,
-        grid=(b, tk // block_k, tq // block_q),
+    # Shapes/grids derived inside core: under SPMD (kernels/partition.py)
+    # core runs on the local batch/head shard.
+    def core(seed, q, k, v, bias, do, lse, delta):
+        b, h, tq, d = q.shape
+        tk = k.shape[2]
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel, sm_scale=sm_scale, causal=causal,
+            block_q=block_q, block_k=block_k, dropout_rate=dropout_rate,
+            nheads=h,
+        )
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid=(b, tk // block_k, tq // block_q),
+            in_specs=[
+                _SEED_SPEC,
+                pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, m, 0)),
+                pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
+                pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda i, l, m: (i, 0, l)),
+                pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, m, 0)),
+                pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, m, 0)),
+                pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, m, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
+                pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(k.shape, k.dtype),
+                jax.ShapeDtypeStruct(v.shape, v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((h, block_k, d), jnp.float32),
+                pltpu.VMEM((h, block_k, d), jnp.float32),
+            ],
+            interpret=interpret,
+        )(seed, q, k, v, bias, do, lse, delta)
+
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel, sm_scale=sm_scale, causal=causal,
+            block_q=block_q, block_k=block_k, dropout_rate=dropout_rate,
+            nheads=h,
+        )
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid=(b, tq // block_q, tk // block_k),
+            in_specs=[
+                _SEED_SPEC,
+                pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
+                pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
+                pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
+                pl.BlockSpec((1, 1, block_k), lambda i, l, m: (i, 0, m)),
+                pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
+                pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, l, 0)),
+                pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, l, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            scratch_shapes=[pltpu.VMEM((h, block_q, d), jnp.float32)],
+            interpret=interpret,
+        )(seed, q, k, v, bias, do, lse, delta)
+        return dq, dk, dv
+
+    from openasr_tpu.kernels.partition import maybe_partition
+
+    core_p = maybe_partition(
+        core,
         in_specs=[
-            _SEED_SPEC,
-            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, m, 0)),
-            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
-            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda i, l, m: (i, 0, l)),
-            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, m, 0)),
-            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, m, 0)),
-            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, m, 0)),
+            ("s",),
+            ("b", "h", "tq", "d"),
+            ("b", "h", "tk", "d"),
+            ("b", "h", "tk", "d"),
+            ("b", "bone", "tk"),
+            ("b", "h", "tq", "d"),
+            ("b", "h", "tq", "lone"),
+            ("b", "h", "tq", "done"),
         ],
         out_specs=[
-            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
-            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, l, 0)),
+            ("b", "h", "tq", "d"),
+            ("b", "h", "tk", "d"),
+            ("b", "h", "tk", "d"),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((h, block_k, d), jnp.float32),
-            pltpu.VMEM((h, block_k, d), jnp.float32),
-        ],
-        interpret=interpret,
-    )(seed, q, k, v, bias, do, lse, delta)
-
-    dq_kernel = functools.partial(
-        _bwd_dq_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-        block_k=block_k, dropout_rate=dropout_rate, nheads=h,
+        shardable={"b", "h"},
     )
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(b, tq // block_q, tk // block_k),
-        in_specs=[
-            _SEED_SPEC,
-            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
-            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
-            pl.BlockSpec((1, h, block_k, d), lambda i, l, m: (i, 0, m, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda i, l, m: (i, 0, m)),
-            pl.BlockSpec((1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)),
-            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, l, 0)),
-            pl.BlockSpec((1, h, block_q, 1), lambda i, l, m: (i, 0, l, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, h, block_q, d), lambda i, l, m: (i, 0, l, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((h, block_q, d), jnp.float32)],
-        interpret=interpret,
-    )(seed, q, k, v, bias, do, lse, delta)
-    return dq, dk, dv
+    return core_p(seed, q, k, v, bias, do, lse, delta)
 
 
 # ---------------------------------------------------------------------------

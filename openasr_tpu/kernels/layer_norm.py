@@ -71,8 +71,27 @@ def _fwd_kernel(x_ref, g_ref, b_ref, y_ref, mu_ref, rstd_ref, *, eps):
     rstd_ref[...] = rstd
 
 
-def _bwd_kernel(x_ref, dy_ref, g_ref, mu_ref, rstd_ref,
-                dx_ref, dg_ref, db_ref):
+def _bwd_dx_kernel(x_ref, dy_ref, g_ref, mu_ref, rstd_ref, dx_ref):
+    """dx only — the SPMD path.  dgamma/dbeta are plain column reductions
+    computed in XLA by the vjp wrapper: keeping them out of the kernel
+    lets the whole backward partition row-parallel (a per-block partials
+    buffer would tie the output shape to the global block count, which
+    differs between the global trace and the per-shard lowering)."""
+    x = x_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    rstd = rstd_ref[...]
+    xhat = (x - mu_ref[...]) * rstd
+    dxhat = dy * g_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx_ref[...] = (rstd * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _bwd_kernel_partials(x_ref, dy_ref, g_ref, mu_ref, rstd_ref,
+                         dx_ref, dg_ref, db_ref):
+    """Single-device path: dx plus per-block dgamma/dbeta partials in ONE
+    pass over (x, dy) — the separate XLA reductions re-read both at
+    ~80 GB/s."""
     x = x_ref[...].astype(jnp.float32)
     dy = dy_ref[...].astype(jnp.float32)
     rstd = rstd_ref[...]
@@ -96,43 +115,115 @@ def _bwd_kernel(x_ref, dy_ref, g_ref, mu_ref, rstd_ref,
 
 
 def _fwd_call(x2d, gamma, beta, eps, interpret):
+    # Shapes, row-blocking, and padding all live INSIDE core: under SPMD
+    # (kernels/partition.py) core runs on the local row shard, whose row
+    # count — and therefore block size and padding — differ from the
+    # global trace's.
+    def core(x2d, g2, b2):
+        n, d = x2d.shape
+        r = _block_rows(n, d)
+        npad = _round_up(n, r)
+        xp = (
+            jnp.pad(x2d, ((0, npad - n), (0, 0))) if npad != n else x2d
+        )
+        grid = (npad // r,)
+        row_spec = pl.BlockSpec((r, d), lambda i: (i, 0))
+        stat_spec = pl.BlockSpec((r, 1), lambda i: (i, 0))
+        full_spec = pl.BlockSpec((1, d), lambda i: (0, 0))
+        y, mu, rstd = pl.pallas_call(
+            functools.partial(_fwd_kernel, eps=eps),
+            grid=grid,
+            in_specs=[row_spec, full_spec, full_spec],
+            out_specs=[row_spec, stat_spec, stat_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((npad, d), x2d.dtype),
+                jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+                jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(xp, g2, b2)
+        return y[:n], mu[:n], rstd[:n]
+
+    from openasr_tpu.kernels.partition import maybe_partition
+
+    core_p = maybe_partition(
+        core,
+        in_specs=[("n", "d"), ("gone", "d"), ("gone", "d")],
+        out_specs=[("n", "d"), ("n", "mone"), ("n", "sone")],
+        shardable={"n"},
+    )
+    return core_p(x2d, gamma[None, :], beta[None, :])
+
+
+def _bwd_call(x2d, dy, gamma, mu, rstd, eps, interpret):
+    from openasr_tpu import kernels
+
+    if not kernels.spmd_partitioning_enabled():
+        return _bwd_call_partials(x2d, dy, gamma, mu, rstd, eps, interpret)
+
+    def core(x2d, dy, g2, mu, rstd):
+        n, d = x2d.shape
+        r = _block_rows(n, d)
+        npad = _round_up(n, r)
+        if npad != n:
+            pad = ((0, npad - n), (0, 0))
+            x2d = jnp.pad(x2d, pad)
+            dy = jnp.pad(dy, pad)
+            mu = jnp.pad(mu, pad)
+            rstd = jnp.pad(rstd, pad)  # zero rstd -> zero dx on pad rows
+        grid = (npad // r,)
+        row_spec = pl.BlockSpec((r, d), lambda i: (i, 0))
+        stat_spec = pl.BlockSpec((r, 1), lambda i: (i, 0))
+        full_spec = pl.BlockSpec((1, d), lambda i: (0, 0))
+        dx = pl.pallas_call(
+            _bwd_dx_kernel,
+            grid=grid,
+            in_specs=[row_spec, row_spec, full_spec, stat_spec, stat_spec],
+            out_specs=row_spec,
+            out_shape=jax.ShapeDtypeStruct((npad, d), dy.dtype),
+            interpret=interpret,
+        )(x2d, dy, g2, mu, rstd)
+        return dx[:n]
+
+    from openasr_tpu.kernels.partition import maybe_partition
+
+    core_p = maybe_partition(
+        core,
+        in_specs=[
+            ("n", "d"), ("n", "d"), ("gone", "d"), ("n", "mone"),
+            ("n", "sone"),
+        ],
+        out_specs=[("n", "d")],
+        shardable={"n"},
+    )
+    dx = core_p(x2d, dy, gamma[None, :], mu, rstd)
+    # dgamma/dbeta: two column reductions over the (row-sharded) batch —
+    # plain XLA ops the partitioner turns into local reduce + psum.
+    dy32 = dy.astype(jnp.float32)
+    xhat = (x2d.astype(jnp.float32) - mu) * rstd
+    return dx, jnp.sum(dy32 * xhat, 0), jnp.sum(dy32, 0)
+
+
+def _bwd_call_partials(x2d, dy, gamma, mu, rstd, eps, interpret):
+    """Single-device backward: one fused pass producing dx + per-block
+    dgamma/dbeta partials (summed here).  Not partition-safe — the
+    partials' row count depends on the global block count."""
     n, d = x2d.shape
     r = _block_rows(n, d)
     npad = _round_up(n, r)
     if npad != n:
-        x2d = jnp.pad(x2d, ((0, npad - n), (0, 0)))
-    grid = (npad // r,)
-    row_spec = pl.BlockSpec((r, d), lambda i: (i, 0))
-    stat_spec = pl.BlockSpec((r, 1), lambda i: (i, 0))
-    full_spec = pl.BlockSpec((1, d), lambda i: (0, 0))
-    y, mu, rstd = pl.pallas_call(
-        functools.partial(_fwd_kernel, eps=eps),
-        grid=grid,
-        in_specs=[row_spec, full_spec, full_spec],
-        out_specs=[row_spec, stat_spec, stat_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((npad, d), x2d.dtype),
-            jax.ShapeDtypeStruct((npad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((npad, 1), jnp.float32),
-        ],
-        interpret=interpret,
-    )(x2d, gamma[None, :], beta[None, :])
-    return y[:n], mu, rstd, x2d
-
-
-def _bwd_call(x2d_padded, dy, gamma, mu, rstd, eps, interpret):
-    npad, d = x2d_padded.shape
-    n = dy.shape[0]
-    r = _block_rows(n, d)
-    if npad != n:
-        dy = jnp.pad(dy, ((0, npad - n), (0, 0)))
+        pad = ((0, npad - n), (0, 0))
+        x2d = jnp.pad(x2d, pad)
+        dy = jnp.pad(dy, pad)
+        mu = jnp.pad(mu, pad)
+        rstd = jnp.pad(rstd, pad)
     grid = (npad // r,)
     row_spec = pl.BlockSpec((r, d), lambda i: (i, 0))
     stat_spec = pl.BlockSpec((r, 1), lambda i: (i, 0))
     full_spec = pl.BlockSpec((1, d), lambda i: (0, 0))
     part_spec = pl.BlockSpec((8, d), lambda i: (i, 0))
     dx, dg_part, db_part = pl.pallas_call(
-        _bwd_kernel,
+        _bwd_kernel_partials,
         grid=grid,
         in_specs=[row_spec, row_spec, full_spec, stat_spec, stat_spec],
         out_specs=[row_spec, part_spec, part_spec],
@@ -142,7 +233,7 @@ def _bwd_call(x2d_padded, dy, gamma, mu, rstd, eps, interpret):
             jax.ShapeDtypeStruct((grid[0] * 8, d), jnp.float32),
         ],
         interpret=interpret,
-    )(x2d_padded, dy, gamma[None, :], mu, rstd)
+    )(x2d, dy, gamma[None, :], mu, rstd)
     # each block wrote its partial into 8 identical sublane rows: summing
     # every 8th row (rows 0 mod 8) over blocks recovers the exact total
     return (
@@ -158,21 +249,18 @@ def _bwd_call(x2d_padded, dy, gamma, mu, rstd, eps, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _layer_norm_2d(x2d, gamma, beta, eps, interpret):
-    y, _, _, _ = _fwd_call(x2d, gamma, beta, eps, interpret)
+    y, _, _ = _fwd_call(x2d, gamma, beta, eps, interpret)
     return y
 
 
 def _layer_norm_2d_fwd(x2d, gamma, beta, eps, interpret):
-    y, mu, rstd, x_padded = _fwd_call(x2d, gamma, beta, eps, interpret)
-    return y, (x_padded, x2d.shape[0], gamma, mu, rstd)
+    y, mu, rstd = _fwd_call(x2d, gamma, beta, eps, interpret)
+    return y, (x2d, gamma, mu, rstd)
 
 
 def _layer_norm_2d_bwd(eps, interpret, res, dy):
-    x_padded, n, gamma, mu, rstd = res
-    del n
-    dx, dg, db = _bwd_call(
-        x_padded, dy, gamma, mu, rstd, eps, interpret
-    )
+    x2d, gamma, mu, rstd = res
+    dx, dg, db = _bwd_call(x2d, dy, gamma, mu, rstd, eps, interpret)
     return dx, dg.astype(gamma.dtype), db.astype(gamma.dtype)
 
 

@@ -56,6 +56,12 @@ def make_mesh(
     _validate_multihost_layout(
         np.array([[d.process_index for d in row] for row in arr])
     )
+    # >1-device meshes need the Pallas kernels' SPMD partitioning rules
+    # (otherwise GSPMD all-gathers around each kernel); single-device
+    # meshes skip the wrapper's custom-call overhead (kernels/partition.py)
+    from openasr_tpu import kernels
+
+    kernels.set_spmd_partitioning(n > 1)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
