@@ -221,6 +221,41 @@ def bench_cif():
     return med, iqr, [round(s, 1) for s in samples], device_ms
 
 
+def online_cfg():
+    """Flagship with the ONLINE frontend: raw waves -> fused-fbank kernel
+    -> SpecAug -> encoder, all inside the jitted train step (the
+    reference's headline workflow, reference: src/blocks/sp_layers.py)."""
+    cfg = flagship_cfg()
+    cfg["signal"] = {
+        "feature_type": "fbank", "num_mel_bins": D, "sample_rate": 16000,
+        "spec_aug": {"freq_mask_num": 2, "freq_mask_width": 27,
+                     "time_mask_num": 2, "time_mask_width": 40},
+    }
+    return cfg
+
+
+def make_wave_batch():
+    n = (T - 1) * 160 + 400  # samples yielding exactly T fbank frames
+    rng = np.random.RandomState(1)
+    base = make_batch()
+    return {
+        "waves": (rng.randn(B, n) * 0.1).astype(np.float32),
+        "wave_lengths": np.linspace(n * 3 // 4, n, B).astype(np.int32),
+        "ids": base["ids"],
+        "labels": base["labels"],
+        "paddings": base["paddings"],
+    }
+
+
+def bench_online():
+    n_steps = 3 if FAST else 20
+    n_trials = 2 if FAST else 3
+    samples, device_ms = _train_tput(online_cfg(), make_wave_batch(),
+                                     n_steps, n_trials)
+    med, iqr = _median_iqr(samples)
+    return med, iqr, [round(s, 1) for s in samples], device_ms
+
+
 def bench_torch_cpu() -> float:
     import torch
     import torch.nn as nn
@@ -377,6 +412,14 @@ def main():
             )
     if os.environ.get("BENCH_DECODE", "1") == "1" and within_budget("decode"):
         detail["beam_decode_rtf"] = round(bench_decode_rtf(), 5)
+    if os.environ.get("BENCH_ONLINE", "1") == "1" and within_budget("online"):
+        on_med, _, _, on_device_ms = bench_online()
+        detail["online_train_utts_per_sec"] = round(on_med, 1)
+        if on_device_ms is not None:
+            detail["online_device_utts_per_sec"] = round(
+                B / (on_device_ms / 1e3), 1
+            )
+            detail["online_device_ms_per_step"] = round(on_device_ms, 2)
     # Headline: the device-lane number.  Host wall-clock over-reports
     # severalfold through the axon relay (see README); the profiler's
     # device time is the honest per-chip throughput.  Wall-clock medians
