@@ -427,3 +427,56 @@ def test_multihost_mesh_layout_validation():
     bad_order = np.array([[0], [1], [0], [1]])
     with _pytest.raises(ValueError, match="process-contiguous"):
         _validate_multihost_layout(bad_order)
+
+
+def test_beam_decode_under_data_parallel_mesh():
+    """Batched beam decode sharded over a dp4 mesh must produce the exact
+    hypotheses/scores of the single-device run — the pod-scale batch
+    transcription path (replicated params, batch-sharded inputs, all
+    control flow inside jit)."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.parallel import make_mesh
+    from openasr_tpu.parallel.mesh import batch_sharding, replicated
+
+    from test_train_e2e import model_config
+
+    cfg = model_config(12)
+    model = get_model_class(cfg.type).create_model(cfg)
+    rng = np.random.RandomState(4)
+    b, t, d = 8, 32, cfg.encoder["input_dim"]
+    feats = rng.randn(b, t, d).astype(np.float32)
+    lens = np.linspace(t // 2, t, b).astype(np.int32)
+
+    single = model.batch_beam_decode(
+        model.params, feats, lens, beam_size=3, max_decode_len=8
+    )
+
+    mesh = make_mesh(jax.devices("cpu")[:4], model=1)
+    params = jax.device_put(
+        model.params, jax.tree_util.tree_map(
+            lambda _: replicated(mesh), model.params
+        )
+    )
+    fs = jax.device_put(feats, batch_sharding(mesh, 3))
+    ls = jax.device_put(lens, batch_sharding(mesh, 1))
+    decode = jax.jit(
+        lambda p, x, l: model.batch_beam_decode(
+            p, x, l, beam_size=3, max_decode_len=8
+        )
+    )
+    sharded = decode(params, fs, ls)
+    # hypotheses and lengths must be IDENTICAL; scores may differ by f32
+    # reduction order across the sharded layout (observed ~1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(sharded[0]), np.asarray(single[0])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sharded[1]), np.asarray(single[1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded[2]), np.asarray(single[2]), atol=1e-4
+    )
