@@ -460,6 +460,7 @@ def _fwd_padded(q, k, v, bias, seed, causal, sm_scale, block_q, block_k,
         ],
         out_specs=[("b", "h", "tq", "d"), ("b", "h", "tq", "lone")],
         shardable={"b", "h"},
+        seed_arg=0,
     )
     out, lse = core_p(seed, q, k, v, bias)
     return out, lse
@@ -558,6 +559,7 @@ def _bwd_padded(
             ("b", "h", "tk", "d"),
         ],
         shardable={"b", "h"},
+        seed_arg=0,
     )
     return core_p(seed, q, k, v, bias, do, lse, delta)
 

@@ -23,7 +23,6 @@ inserts the reshard around the kernel instead of inside it.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Sequence, Set, Tuple
 
 import jax
@@ -64,6 +63,7 @@ def kernel_partition(
     in_specs: Sequence[Tuple[str, ...]],
     out_specs: Sequence[Tuple[str, ...]],
     shardable: Set[str],
+    seed_arg: "int | None" = None,
 ):
     """Wrap kernel entry `fn` so SPMD partitioning runs it per-shard.
 
@@ -71,7 +71,15 @@ def kernel_partition(
     per dimension (tuple results only; a single-array result should be
     passed as a 1-tuple and unwrapped by the caller).
     shardable: factor names whose dims the kernel may run sharded on.
-    """
+    seed_arg: index of a uint32 RNG-seed operand.  Kernels hash dropout
+    masks from SHARD-LOCAL indices (program_id / local head count), so
+    with a replicated seed every chip would regenerate the SAME masks for
+    its local rows — correlated dropout across the global batch.  The
+    per-shard lowering folds the shard's mesh position (lax.axis_index
+    over the axes the shardable dims landed on) into the seed, which the
+    kernels' murmur-style avalanche hash then decorrelates; forward and
+    backward see the identical perturbed seed, so mask agreement is
+    preserved."""
     cp = custom_partitioning(fn)
     rule = (
         ", ".join(" ".join(s) for s in in_specs)
@@ -104,7 +112,32 @@ def kernel_partition(
             _build_sharding(mesh, spec, assign) for spec in out_specs
         )
         out_shardings = flat if len(flat) > 1 else flat[0]
-        return mesh, fn, out_shardings, arg_shardings
+
+        lower_fn = fn
+        if seed_arg is not None:
+            axes: list = []
+            for factor in sorted(shardable):
+                ax = assign.get(factor)
+                if ax is None:
+                    continue
+                axes.extend(ax if isinstance(ax, tuple) else [ax])
+            if axes:
+                import jax.numpy as jnp
+
+                def lower_fn(*args):
+                    shard_id = jnp.zeros((), jnp.uint32)
+                    for ax in axes:
+                        shard_id = shard_id * jnp.uint32(0x9E3779B9) + (
+                            jax.lax.axis_index(ax).astype(jnp.uint32)
+                        )
+                    args = list(args)
+                    args[seed_arg] = (
+                        args[seed_arg].astype(jnp.uint32)
+                        + shard_id * jnp.uint32(0x85EBCA6B)
+                    )
+                    return fn(*args)
+
+        return mesh, lower_fn, out_shardings, arg_shardings
 
     cp.def_partition(
         partition=partition,
@@ -114,12 +147,7 @@ def kernel_partition(
     return cp
 
 
-@functools.lru_cache(maxsize=None)
-def _rule_cache(key):  # pragma: no cover - trivial
-    return key
-
-
-def maybe_partition(fn, in_specs, out_specs, shardable):
+def maybe_partition(fn, in_specs, out_specs, shardable, seed_arg=None):
     """kernel_partition, applied only when SPMD partitioning is enabled
     (kernels.set_spmd_partitioning — flipped on by make_mesh for >1-device
     meshes).  On a single device the wrapper's custom-call boundary costs
@@ -128,4 +156,4 @@ def maybe_partition(fn, in_specs, out_specs, shardable):
 
     if not kernels.spmd_partitioning_enabled():
         return fn
-    return kernel_partition(fn, in_specs, out_specs, shardable)
+    return kernel_partition(fn, in_specs, out_specs, shardable, seed_arg)

@@ -57,11 +57,16 @@ def make_mesh(
         np.array([[d.process_index for d in row] for row in arr])
     )
     # >1-device meshes need the Pallas kernels' SPMD partitioning rules
-    # (otherwise GSPMD all-gathers around each kernel); single-device
-    # meshes skip the wrapper's custom-call overhead (kernels/partition.py)
-    from openasr_tpu import kernels
+    # (otherwise GSPMD all-gathers around each kernel).  The flag is
+    # STICKY-ON: a later 1-device mesh (bench/profiling utilities build
+    # them) must not silently disable the rules for an existing
+    # multi-device mesh — the next retrace would bring the all-gathers
+    # back with no warning.  Single-device-only processes never set it
+    # and skip the wrapper's custom-call overhead (kernels/partition.py).
+    if n > 1:
+        from openasr_tpu import kernels
 
-    kernels.set_spmd_partitioning(n > 1)
+        kernels.set_spmd_partitioning(True)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -152,29 +157,41 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+_gather_cache: dict = {}
+
+
 def _allgather_host_data(mesh: Mesh, local: np.ndarray) -> np.ndarray:
     """All-gather one small per-host array across the mesh's processes,
     returning [nproc, *local.shape] on every host.  Built directly on the
     mesh's own devices (one per process) — `multihost_utils` and
     `xla_bridge.process_count()` consult the DEFAULT backend, which under
     a foreign accelerator plugin can be a single-process device tunnel.
-    """
-    by_proc = {}
-    for d in mesh.devices.flat:
-        by_proc.setdefault(d.process_index, d)
-    devs = [by_proc[p] for p in sorted(by_proc)]
-    m1 = Mesh(np.array(devs), ("p",))
-    sharding = NamedSharding(m1, P("p"))
-    gshape = (len(devs),) + local.shape
+
+    The replicating jit is cached per (mesh, shape, dtype): jit keys on
+    function identity, so a fresh lambda per call would retrace + recompile
+    every time — this runs on hot paths (per-batch shape reconciliation,
+    periodic preemption checks)."""
+    key = (mesh, local.shape, str(local.dtype))
+    entry = _gather_cache.get(key)
+    if entry is None:
+        by_proc = {}
+        for d in mesh.devices.flat:
+            by_proc.setdefault(d.process_index, d)
+        devs = [by_proc[p] for p in sorted(by_proc)]
+        m1 = Mesh(np.array(devs), ("p",))
+        sharding = NamedSharding(m1, P("p"))
+        rep_fn = jax.jit(lambda x: x, out_shardings=NamedSharding(m1, P()))
+        if len(_gather_cache) > 64:
+            _gather_cache.clear()
+        entry = _gather_cache[key] = (len(devs), sharding, rep_fn)
+    nproc, sharding, rep_fn = entry
+    gshape = (nproc,) + local.shape
     # callback receives GLOBAL indices, but this process's only
     # addressable shard is always its own single row
     g = jax.make_array_from_callback(
         gshape, sharding, lambda idx: local[None]
     )
-    rep = jax.jit(
-        lambda x: x, out_shardings=NamedSharding(m1, P())
-    )(g)
-    return np.asarray(rep)
+    return np.asarray(rep_fn(g))
 
 
 def _shard_batch_multihost(batch: dict, mesh: Mesh, nproc: int) -> dict:

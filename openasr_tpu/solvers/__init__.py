@@ -473,7 +473,7 @@ class Solver:
         for niter, (batch, arrays) in enumerate(
             self._prefetch_batches(loader), start=1
         ):
-            if not cross_valid and self._should_stop():
+            if not cross_valid and self._should_stop(niter):
                 logger.warning(
                     "preemption: stopping epoch %d at batch %d/%d",
                     self.epoch, niter, tot_iters,
@@ -550,23 +550,35 @@ class Solver:
             except (ValueError, OSError):  # pragma: no cover
                 pass
 
-    def _should_stop(self) -> bool:
+    # collective stop checks run every N train batches (not every batch:
+    # each check is a blocking cross-host gather); preemption reaction
+    # latency is bounded by N steps, ~seconds
+    STOP_CHECK_INTERVAL = 8
+
+    def _should_stop(self, niter: int = 0) -> bool:
         """Preemption stop, agreed COLLECTIVELY across hosts.  A SIGTERM
         may be delivered to a subset of processes, but everything that
         follows a stop — multi-host batch assembly, collective checkpoint
         packaging — is a collective: a one-sided break would wedge every
         other host in a collective the stopped host never joins.  All
         hosts reach this check at the same iteration (identical batch
-        plans), so a tiny cross-host OR of the local flags makes the
-        decision unanimous; single-process runs short-circuit to the
-        local flag."""
+        plans) and consult the collective only on the same deterministic
+        schedule (niter % STOP_CHECK_INTERVAL, plus every epoch-boundary
+        call with niter=0), so the decision is unanimous and the hot loop
+        pays one tiny gather every N batches instead of one per batch.
+        Single-process runs short-circuit to the local flag."""
         local = bool(getattr(self, "_stop_requested", False))
         mesh = getattr(self, "mesh", None)
         if mesh is None or mesh_process_count(mesh) <= 1:
             return local
+        if getattr(self, "_stop_agreed", False):
+            return True
+        if niter % self.STOP_CHECK_INTERVAL != 0:
+            return False  # between check boundaries: keep training
         flags = _allgather_host_data(mesh, np.asarray([local], np.int32))
         if bool(flags.any()):
             self._stop_requested = True
+            self._stop_agreed = True
             return True
         return False
 

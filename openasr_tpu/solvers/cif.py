@@ -90,7 +90,7 @@ class CIFMIXSolver(CIFCTCSolver):
         accum = max(1, int(self.config.get("accumulate_grad_batch", 1)))
         cur = self._accum_begin()
         for niter, ac_batch in enumerate(iter(self.acoustic_loader), start=1):
-            if self._should_stop():
+            if self._should_stop(niter):
                 logger.warning(
                     "preemption: stopping epoch %d at batch %d/%d",
                     self.epoch, niter, tot_iters,

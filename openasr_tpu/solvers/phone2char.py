@@ -105,7 +105,7 @@ class Phone2CharCTCGANSolver(Phone2CharCTCSolver):
         cur = self._accum_begin() if accum > 1 else None
         tot_iters = len(self.phone_loader)
         for niter, phone_batch in enumerate(iter(self.phone_loader), 1):
-            if self._should_stop():
+            if self._should_stop(niter):
                 logger.warning(
                     "preemption: stopping epoch %d at batch %d/%d",
                     self.epoch, niter, tot_iters,

@@ -176,3 +176,40 @@ def test_fused_layer_norm_partitions_rows():
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-4
         )
+
+
+def test_sharded_dropout_masks_decorrelate_across_shards():
+    """Kernels hash dropout masks from shard-LOCAL indices; the partition
+    lowering folds the shard's mesh position into the seed so chips do not
+    regenerate identical masks for their local rows.  With every batch row
+    carrying IDENTICAL content, all outputs must still be pairwise
+    distinct — without the seed perturbation, rows sharing a local index
+    on different chips would be bit-identical."""
+    from openasr_tpu.kernels.flash_attention import flash_attention
+
+    mesh = _mesh(8)
+    b, t, h, d = 16, 128, 2, 64
+    rng = np.random.RandomState(5)
+    row_q = rng.randn(1, t, h, d).astype(np.float32)
+    row_k = rng.randn(1, t, h, d).astype(np.float32)
+    row_v = rng.randn(1, t, h, d).astype(np.float32)
+    q = jnp.asarray(np.repeat(row_q, b, 0))
+    k = jnp.asarray(np.repeat(row_k, b, 0))
+    v = jnp.asarray(np.repeat(row_v, b, 0))
+    lens = jnp.asarray(np.full(b, t, np.int32))
+    sh = NamedSharding(mesh, P("data"))
+    args = [jax.device_put(x, sh) for x in (q, k, v, lens)]
+
+    f = jax.jit(
+        lambda q, k, v, l: flash_attention(
+            q, k, v, kv_lengths=l, dropout_rate=0.5,
+            dropout_seed=jnp.asarray([7], jnp.uint32), interpret=True,
+        )
+    )
+    out = np.asarray(f(*args))
+    flat = out.reshape(b, -1)
+    for i in range(b):
+        for j in range(i + 1, b):
+            assert not np.array_equal(flat[i], flat[j]), (
+                f"rows {i} and {j} got identical dropout masks"
+            )

@@ -55,8 +55,9 @@ def main(argv=None):
         del configs.signal["spec_aug"]  # deterministic forward
     model = get_model_class(args.model_type).create_model(configs)
     model.restore(model_pkg)
-    offline = args.offline or (
-        model.configs.signal.get("feature_type", "offline") == "offline"
+    signal_cfg = model.configs.signal
+    offline = args.offline or not signal_cfg or (
+        signal_cfg.get("feature_type", "offline") == "offline"
     )
     if offline:
         ds = ArkDataset(args.json_file)
