@@ -30,10 +30,12 @@ FAST = os.environ.get("BENCH_FAST", "0") == "1"
 
 # Benchmark shape: AISHELL-1-like batch (frame-budget ~ B*T).  B=64 is the
 # TPU-appropriate bucket (throughput saturates ~B=128 on one chip; B=16
-# leaves the MXU ~3.5x underutilized).
+# leaves the MXU ~3.5x underutilized).  BENCH_B / BENCH_T override the
+# shape for envelope exploration (the recorded headline always uses the
+# defaults so rounds stay comparable).
 VOCAB = 4233
-B = 8 if FAST else 64
-T = 256 if FAST else 512
+B = 8 if FAST else int(os.environ.get("BENCH_B", "64"))
+T = 256 if FAST else int(os.environ.get("BENCH_T", "512"))
 D = 80
 U = 24
 D_MODEL = 256 if FAST else 512
