@@ -480,3 +480,69 @@ def test_beam_decode_under_data_parallel_mesh():
     np.testing.assert_allclose(
         np.asarray(sharded[2]), np.asarray(single[2]), atol=1e-4
     )
+
+
+def test_wav2vec_freeze_gate_train_step_parity_across_meshes(tmp_path):
+    """The wav2vec tree — raw-wave conv frontend + step-gated
+    freeze_finetune_updates (an optax gate zeroing frozen components'
+    updates inside the jitted step) — must train identically on single
+    and dp4 x tp2 meshes, including the gate holding the frontend frozen."""
+    from openasr_tpu.config import Config as _C
+
+    cfg = _C({
+        "type": "wav2vec_ctc",
+        "add_blk": True,
+        "signal": {"feature_type": "wave"},
+        "encoder": {"d_model": 16, "nhead": 2, "num_layers": 1,
+                    "dim_feedforward": 32, "conv_dim": 8,
+                    "dropout_rate": 0.0,
+                    "freeze_finetune_updates": 3},
+        "decoder": {"vocab_size": 12},
+    })
+    rng = np.random.RandomState(0)
+    b, n, u = 8, 3200, 4
+    batch = {
+        "waves": rng.randn(b, n).astype(np.float32),
+        "wave_lengths": np.linspace(n // 2, n, b).astype(np.int32),
+        "ids": rng.randint(1, 11, (b, u)).astype(np.int32),
+        "labels": rng.randint(1, 11, (b, u)).astype(np.int32),
+        "paddings": np.zeros((b, u), np.float32),
+    }
+    training = Config({
+        "num_epoch": 1, "exp_dir": str(tmp_path / "w2v"),
+        "print_inteval": 1000, "accumulate_grad_batch": 1,
+        "init_lr": 1e-3, "optimtype": "adam", "grad_max_norm": 5.0,
+        "label_smooth": 0.0, "lambda_ctc": 1.0,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 20,
+                         "d_model": 16},
+    })
+    key = jax.random.PRNGKey(17)
+    out = {}
+    for tag in ("single", "dp4_tp2"):
+        mesh = _meshes()[tag]
+        model = get_model_class(cfg.type).create_model(cfg)
+        solver = get_solver_class(cfg.type)(
+            model, training, [], [], mesh=mesh
+        )
+        init = jax.tree_util.tree_map(np.asarray, jax.device_get(model.params))
+        arrays = shard_batch(array_fields(batch), mesh)
+        params, _, loss, _ = solver._train_step(
+            model.params, solver.opt_state, arrays, key
+        )
+        out[tag] = (
+            float(loss), init,
+            jax.tree_util.tree_map(np.asarray, jax.device_get(params)),
+        )
+    ref_loss, init, ref_params = out["single"]
+    assert np.isfinite(ref_loss)
+    # the step-gate is active (freeze_finetune_updates=3, step 1): the
+    # whole encoder component must be bit-frozen on BOTH meshes
+    _params_allclose(
+        ref_params["encoder"], init["encoder"], 0.0, 0.0, "w2v:gate:single"
+    )
+    loss, init_tp, params = out["dp4_tp2"]
+    _params_allclose(
+        params["encoder"], init_tp["encoder"], 0.0, 0.0, "w2v:gate:dp4_tp2"
+    )
+    assert np.isclose(loss, ref_loss, rtol=2e-4), (loss, ref_loss)
+    _params_allclose(params, ref_params, 2e-3, 2e-5, "w2v:dp4_tp2")
