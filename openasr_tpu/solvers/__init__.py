@@ -714,7 +714,9 @@ class Solver:
             self.cv_loss.append(cv_loss)
             if hasattr(self, "_ckpt"):
                 self._ckpt.wait()  # drain async writes before retention
-            if self.num_last_ckpt_keep:
+            if self.num_last_ckpt_keep and getattr(self, "is_host0", True):
+                # multi-host: only the writing host prunes — concurrent
+                # removers on a shared exp_dir race each other
                 cleanup_ckpt(self.exp_dir, int(self.num_last_ckpt_keep))
 
     # ------------------------------------------------------------ packaging

@@ -34,9 +34,20 @@ def to_numpy_tree(tree):
 
 
 def save_package(pkg: dict, path: str) -> None:
+    _write_package(to_numpy_tree(pkg), path)
+
+
+def _write_package(host_pkg: dict, path: str) -> None:
+    """tmp-write + fsync + atomic rename.  The fsync BEFORE os.replace is
+    what makes the pattern crash-durable: without it the filesystem may
+    persist the rename but not the data, leaving a truncated last.pkg
+    after power loss / hard preemption — exactly when the snapshot is
+    needed."""
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        pickle.dump(to_numpy_tree(pkg), f, protocol=4)
+        pickle.dump(host_pkg, f, protocol=4)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
     logger.info("Saved checkpoint %s", path)
 
@@ -45,19 +56,20 @@ class AsyncCheckpointer:
     """Orbax-style async save: device->host copy happens on the caller
     (cheap, and guarantees a consistent snapshot), the pickle+fsync happens
     on a background thread so the train loop never stalls on disk.  Writes
-    are serialized; `wait()` drains before exit/averaging."""
+    are serialized; `wait()` drains before exit/averaging and RE-RAISES any
+    writer failure — a swallowed ENOSPC would let the preemption path log
+    'saved last.pkg' and exit with no usable snapshot."""
 
     def __init__(self):
         import atexit
-        import threading
 
-        self._lock = threading.Lock()
         self._thread = None
+        self._error = None
         # the writer is a daemon thread (so a hung disk never blocks
         # interpreter shutdown on crash paths), which means any exit that
         # skips train()'s wait() calls could kill it mid-pickle and drop
         # the newest checkpoint — drain pending writes at exit instead
-        atexit.register(self.wait)
+        atexit.register(self._drain_at_exit)
 
     def save(self, pkg: dict, path: str) -> None:
         import threading
@@ -66,12 +78,10 @@ class AsyncCheckpointer:
         self.wait()
 
         def _write():
-            with self._lock:
-                tmp = path + ".tmp"
-                with open(tmp, "wb") as f:
-                    pickle.dump(host_pkg, f, protocol=4)
-                os.replace(tmp, path)
-                logger.info("Saved checkpoint %s", path)
+            try:
+                _write_package(host_pkg, path)
+            except BaseException as e:  # surfaced by the next wait()
+                self._error = e
 
         self._thread = threading.Thread(target=_write, daemon=True)
         self._thread.start()
@@ -80,6 +90,15 @@ class AsyncCheckpointer:
         if self._thread is not None:
             self._thread.join()
             self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def _drain_at_exit(self) -> None:
+        try:
+            self.wait()
+        except Exception:  # pragma: no cover - interpreter teardown
+            logger.exception("async checkpoint write failed at exit")
 
 
 def load_package(path: str) -> dict:
@@ -88,15 +107,30 @@ def load_package(path: str) -> dict:
 
 
 def epoch_checkpoints(exp_dir: str) -> List[str]:
+    """Epoch checkpoints sorted by epoch number.  Files matching the glob
+    but not the `ep-NNNN.pkg` pattern (e.g. a hand-copied ep-best.pkg)
+    are ignored rather than crashing cleanup/averaging."""
     paths = glob.glob(os.path.join(exp_dir, "ep-*.pkg"))
-    return sorted(paths, key=lambda p: int(EPOCH_RE.search(p).group(1)))
+    numbered = [
+        (int(m.group(1)), p)
+        for p in paths
+        if (m := EPOCH_RE.search(p)) is not None
+    ]
+    return [p for _, p in sorted(numbered)]
 
 
 def cleanup_ckpt(exp_dir: str, num_last_ckpt_keep: int) -> None:
-    """Keep only the newest N epoch checkpoints (reference: src/utils.py:43-49)."""
+    """Keep only the newest N epoch checkpoints (reference: src/utils.py:43-49).
+
+    Removal tolerates already-missing files: on a shared exp_dir several
+    processes may race the same cleanup (the solver guards with is_host0,
+    but external scripts can run concurrently too)."""
     paths = epoch_checkpoints(exp_dir)
     for p in paths[: max(0, len(paths) - num_last_ckpt_keep)]:
-        os.remove(p)
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            continue
         logger.info("Removed old checkpoint %s", p)
 
 
@@ -135,6 +169,11 @@ def average_packages(paths: List[str]) -> dict:
 
 
 def average_last_ckpts(exp_dir: str, num: int, out_path: str) -> str:
+    if num < 1:
+        raise ValueError(
+            f"average_last_ckpts: num must be >= 1, got {num} "
+            "(num=0 would silently average EVERY checkpoint)"
+        )
     paths = epoch_checkpoints(exp_dir)[-num:]
     pkg = average_packages(paths)
     save_package(pkg, out_path)

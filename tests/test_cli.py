@@ -190,3 +190,43 @@ def test_vocab_and_char_tokenizer_tools(tmp_path):
     assert r2.returncode == 0, r2.stderr
     vocab = open(tmp_path / "vocab.txt").read().split()
     assert "好" in vocab
+
+
+def test_checkpoint_robustness(tmp_path):
+    """Non-epoch files matching ep-*.pkg are ignored; cleanup tolerates
+    concurrent removal; num=0 averaging is rejected; a failed async write
+    is re-raised at the next wait() instead of being swallowed."""
+    import pickle
+
+    import pytest as _pytest
+
+    from openasr_tpu.utils.checkpoint import (
+        AsyncCheckpointer,
+        average_last_ckpts,
+        cleanup_ckpt,
+        epoch_checkpoints,
+    )
+
+    for i in (1, 2, 3):
+        with open(tmp_path / f"ep-{i:04d}.pkg", "wb") as f:
+            pickle.dump({"components": {"w": np.ones((2,), np.float32) * i}},
+                        f)
+    # a hand-copied non-numbered file must not crash the scan
+    (tmp_path / "ep-best.pkg").write_bytes(b"junk")
+    paths = epoch_checkpoints(str(tmp_path))
+    assert [p[-8:] for p in paths] == ["0001.pkg", "0002.pkg", "0003.pkg"]
+
+    with _pytest.raises(ValueError, match="num must be >= 1"):
+        average_last_ckpts(str(tmp_path), 0, str(tmp_path / "avg0.pkg"))
+
+    # racing remover: file vanishes between glob and remove
+    (tmp_path / "ep-0001.pkg").unlink()
+    cleanup_ckpt(str(tmp_path), 1)  # must not raise despite the gone file
+    assert not (tmp_path / "ep-0002.pkg").exists()
+    assert (tmp_path / "ep-0003.pkg").exists()
+
+    ck = AsyncCheckpointer()
+    ck.save({"x": np.zeros(1)}, str(tmp_path / "nodir" / "last.pkg"))
+    with _pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ck.wait()
+    ck.wait()  # error is cleared after being raised once
