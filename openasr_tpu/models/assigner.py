@@ -36,9 +36,17 @@ class AttentionAssigner(nn.Module):
     ) -> jnp.ndarray:
         t = x.shape[1]
         x = x.astype(self.dtype)
-        # reference right-pads by n_layers*w_context then truncates to T
+        # The reference right-pads the INPUT once by n_layers*w_context
+        # zeros, runs the whole VALID conv stack, then truncates to T
+        # (conv_layers.py:30-41).  Padding per layer instead would feed
+        # layer i+1 exact zeros at the tail where the reference feeds it
+        # layer i's outputs over the padded region (relu(bias + partial
+        # sums), generally nonzero) — diverging on the last w_context-1
+        # valid frames whenever n_layers >= 2.
+        x = jnp.pad(
+            x, ((0, 0), (0, self.n_layers * self.w_context), (0, 0))
+        )
         for i in range(self.n_layers):
-            x = jnp.pad(x, ((0, 0), (0, self.w_context - 1), (0, 0)))
             x = nn.Conv(
                 self.d_model, (self.w_context,), padding="VALID",
                 dtype=self.dtype, name=f"conv{i}",

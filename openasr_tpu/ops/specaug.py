@@ -75,11 +75,19 @@ def spec_aug(
 
     # Time masks: width ~ floor(W*U), start ~ floor((len-width)*U)
     # (always inside the valid region, reference: sp_layers.py:66-73).
+    # When the drawn width exceeds the utterance length, the reference's
+    # negative-start slice is (for realistic paddings) EMPTY — no mask.
+    # Reproduce that by zeroing the mask width: a naive negative start
+    # would instead mask frames [0, start+width), blanking most of a
+    # short utterance under the default 40-frame mask widths.
     time_masked = jnp.zeros((b, t), dtype=bool)
     if cfg.time_mask_num > 0:
         u = jax.random.uniform(k_t, (cfg.time_mask_num, 2, b))
         for i in range(cfg.time_mask_num):
             widths = (cfg.time_mask_width * u[i, 0]).astype(jnp.int32)
+            widths = jnp.where(
+                widths > feat_lengths.astype(jnp.int32), 0, widths
+            )
             starts = (
                 (feat_lengths.astype(jnp.float32) - widths) * u[i, 1]
             ).astype(jnp.int32)

@@ -288,6 +288,17 @@ class Solver:
 
         return train_step
 
+    def _refresh_jitted_steps(self) -> None:
+        """Bob plateau decay mutates the lr closure's decay_rate — a HOST
+        value that was baked into the jitted train step as a trace-time
+        constant (BobSchedule.__call__ ignores the traced count), so
+        without a rebuild the cached executable would apply the original
+        learning rate forever while the host-side lr log shows the
+        decayed one.  Each distinct rate costs one recompile; bob decays
+        only at plateau epoch boundaries."""
+        self._train_step = self._build_train_step()
+        self._grad_accum = None
+
     def _build_eval_step(self) -> Callable:
         has_bs = self.model.batch_stats is not None
 
@@ -693,7 +704,10 @@ class Solver:
             cv_loss = self.iter_one_epoch(cross_valid=True)
             best_cv = min(best_cv, cv_loss)
             if self.is_bob:
+                prev_rate = self.schedule.decay_rate
                 self.schedule.update(cv_loss)
+                if self.schedule.decay_rate != prev_rate:
+                    self._refresh_jitted_steps()
             logger.info(
                 "Epoch %d done: tr %.4f cv %.4f (best %.4f) in %.1f min",
                 self.epoch, tr_loss, cv_loss, best_cv,
@@ -788,6 +802,8 @@ class Solver:
             )
         if self.is_bob and "scheduler_state" in pkg:
             self.schedule.restore_state(pkg["scheduler_state"])
+            # the steps jitted in __init__ baked decay_rate=1.0
+            self._refresh_jitted_steps()
 
 
 class CESolver(Solver):

@@ -159,3 +159,69 @@ def test_model_type_alias_resolution():
 
     with pytest.raises(ValueError):
         get_model_class("definitely_not_a_model")
+
+
+def test_bob_decay_reaches_the_jitted_step(tmp_path):
+    """BobSchedule's decay_rate is HOST state baked into the jitted train
+    step as a trace-time constant — without Solver._refresh_jitted_steps a
+    plateau decay would change the logged lr but never the applied one.
+    A step after refresh at rate 0.5 must move params ~half as far."""
+    import jax
+
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.parallel import make_mesh
+    from openasr_tpu.solvers import array_fields, get_solver_class
+
+    from test_train_e2e import model_config
+
+    cfg = model_config(8)
+    rng = np.random.RandomState(0)
+    b, t, d, u = 4, 32, 20, 5
+    batch = {
+        "feats": rng.randn(b, t, d).astype(np.float32),
+        "feat_lengths": np.full(b, t, np.int32),
+        "ids": rng.randint(3, 7, (b, u)).astype(np.int32),
+        "labels": rng.randint(3, 7, (b, u)).astype(np.int32),
+        "paddings": np.zeros((b, u), np.float32),
+    }
+
+    def delta_for(decayed):
+        model = get_model_class(cfg.type).create_model(cfg)
+        training = Config({
+            "num_epoch": 1, "exp_dir": str(tmp_path / f"bob{decayed}"),
+            "print_inteval": 1000, "accumulate_grad_batch": 1,
+            "init_lr": 1e-3, "optimtype": "adam", "grad_max_norm": 50.0,
+            "label_smooth": 0.1, "lambda_ctc": 0.5,
+            "lr_scheduler": {"type": "bob", "decay_coef": 0.5,
+                             "tolerate": 1.0},
+        })
+        solver = get_solver_class(cfg.type)(
+            model, training, [], [],
+            mesh=make_mesh(jax.devices("cpu")[:1]),
+        )
+        p0 = jax.tree_util.tree_map(np.asarray, jax.device_get(model.params))
+        if decayed:
+            # two updates with no improvement -> one decay (as train() does)
+            solver.schedule.update(1.0)
+            solver.schedule.update(1.0)
+            assert solver.schedule.decay_rate == 0.5
+            solver._refresh_jitted_steps()
+        from openasr_tpu.parallel import shard_batch
+
+        arrays = shard_batch(array_fields(batch), solver.mesh)
+        params, _, _, _ = solver._train_step(
+            model.params, solver.opt_state, arrays, jax.random.PRNGKey(3)
+        )
+        p1 = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+        leaves0 = jax.tree_util.tree_leaves(p0)
+        leaves1 = jax.tree_util.tree_leaves(p1)
+        return float(sum(
+            np.abs(a - b).sum() for a, b in zip(leaves0, leaves1)
+        ))
+
+    d_full = delta_for(False)
+    d_half = delta_for(True)
+    assert d_full > 0
+    # Adam's first bias-corrected update is ~lr*sign(g): halving the rate
+    # must ~halve the parameter movement (it was bit-identical pre-fix)
+    assert 0.4 < d_half / d_full < 0.6, (d_half, d_full)

@@ -159,3 +159,67 @@ def test_full_package_roundtrip(ref_modules, tmp_path):
     losses = model.loss(model.params, batch, {}, train=False)
     assert np.isfinite(float(losses["ce_loss"]))
     assert np.isfinite(float(losses["ctc_loss"]))
+
+
+def test_assigner_matches_reference(ref_modules):
+    """The CIF attention assigner's conv stack must reproduce the
+    reference's padding scheme exactly: the input is right-padded ONCE by
+    n_layers*w_context zeros and the whole VALID stack runs before
+    truncation (reference: conv_layers.py:30-41) — with n_layers >= 2 the
+    tail frames see layer-1 outputs over the padded region, not zeros."""
+    import torch
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, REF)
+    try:
+        import blocks.attention_assigner as A
+    finally:
+        sys.path.remove(REF)
+
+    from openasr_tpu.models.assigner import AttentionAssigner
+
+    d_model, n_layers, w = 16, 2, 3
+    torch.manual_seed(0)
+    ref = A.Attention_Assigner({
+        "d_model": d_model, "n_layers": n_layers, "w_context": w,
+        "dropout": 0.0,
+    })
+    ref.eval()
+    d_in = d_model
+
+    b, t = 2, 12
+    rng = np.random.RandomState(0)
+    feats = rng.randn(b, t, d_in).astype(np.float32)
+    lengths = np.array([t, t - 3], np.int32)
+    with torch.no_grad():
+        want = ref(torch.tensor(feats), torch.tensor(lengths)).numpy()
+
+    ours = AttentionAssigner(
+        d_model=d_model, n_layers=n_layers, w_context=w, dropout_rate=0.0
+    )
+    import jax
+
+    params = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats), jnp.asarray(lengths)
+    )["params"]
+    # map the torch weights: Conv1d [out, in, k] -> flax [k, in, out]
+    sd = ref.state_dict()
+    mapped = dict(params)
+    for i in range(n_layers):
+        conv_w = sd[f"conv.conv.assigner/conv1d_{i}.weight"].numpy()
+        conv_b = sd[f"conv.conv.assigner/conv1d_{i}.bias"].numpy()
+        mapped[f"conv{i}"] = {
+            "kernel": jnp.asarray(conv_w.transpose(2, 1, 0)),
+            "bias": jnp.asarray(conv_b),
+        }
+    mapped["linear"] = {
+        "kernel": jnp.asarray(sd["linear.weight"].numpy().T),
+        "bias": jnp.asarray(sd["linear.bias"].numpy()),
+    }
+    got = np.asarray(
+        ours.apply(
+            {"params": mapped}, jnp.asarray(feats), jnp.asarray(lengths)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

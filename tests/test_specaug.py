@@ -1,6 +1,7 @@
 """SpecAugment behavior tests (mean-fill semantics of the reference)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from openasr_tpu.ops.specaug import SpecAugConfig, spec_aug
@@ -58,3 +59,29 @@ def test_spec_aug_deterministic_per_key():
     a = np.asarray(spec_aug(jax.random.PRNGKey(7), feats, lengths, cfg))
     b = np.asarray(spec_aug(jax.random.PRNGKey(7), feats, lengths, cfg))
     np.testing.assert_array_equal(a, b)
+
+
+def test_time_mask_wider_than_utterance_is_skipped():
+    """When the drawn time-mask width exceeds feat_length, the reference's
+    negative-start slice is empty — no mask.  A naive negative start would
+    blank frames [0, start+width), wiping most of a short utterance."""
+    from openasr_tpu.ops.specaug import SpecAugConfig, spec_aug
+
+    cfg = SpecAugConfig(
+        freq_mask_num=0, freq_mask_width=0,
+        time_mask_num=2, time_mask_width=10**9,
+    )
+    rng = np.random.RandomState(0)
+    b, t, v = 3, 16, 8
+    feats = rng.randn(b, t, v).astype(np.float32)
+    lengths = np.array([8, 6, 4], np.int32)
+    for seed in range(8):
+        out = np.asarray(
+            spec_aug(jax.random.PRNGKey(seed), jnp.asarray(feats),
+                     jnp.asarray(lengths), cfg)
+        )
+        for i, n in enumerate(lengths):
+            np.testing.assert_array_equal(
+                out[i, :n], feats[i, :n],
+                err_msg=f"seed {seed} row {i}: oversized mask applied",
+            )
