@@ -106,8 +106,22 @@ def main(argv=None):
         os.makedirs(parent, exist_ok=True)
         fd = open(out_path, "w", encoding="utf8")
 
+    # same '-'/'_'/case normalization as the model registry, so every
+    # accepted spelling ('gru-ctc', 'wav2vec-ctc', ...) routes correctly
+    is_ctc = args.model_type.lower().replace("-", "_") in (
+        "conv_ctc", "gru_ctc", "wav2vec_ctc"
+    )
+
     lm = None
     if args.lm_pkg and args.lm_weight != 0.0:
+        if is_ctc:
+            # the CTC paths (greedy / prefix beam) have no fusion hook —
+            # fail loudly instead of logging fusion and silently not
+            # applying it
+            raise SystemExit(
+                "--lm_pkg shallow fusion is only supported for attention "
+                "beam decoding; CTC model types decode without an LM"
+            )
         lm_pkg = load_package(args.lm_pkg)
         lm_model_pkg = lm_pkg["model"] if "model" in lm_pkg else lm_pkg
         lm = get_model_class("lstm_lm").create_model(
@@ -116,10 +130,6 @@ def main(argv=None):
         lm.restore(lm_model_pkg)
         logging.info("Shallow fusion with %s (weight %.2f)",
                      args.lm_pkg, args.lm_weight)
-
-    is_ctc = args.model_type.lower() in (
-        "conv-ctc", "conv_ctc", "gru_ctc", "wav2vec_ctc"
-    )
     ctc_decoder = None
     if is_ctc and args.ctc_beam > 0:
         from openasr_tpu.ops.prefix_beam import make_decoder

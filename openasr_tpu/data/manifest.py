@@ -32,7 +32,12 @@ def load_json_manifest(
     bounds, reference: src/dataload/datasets.py:64-100)."""
     if os.path.isdir(json_path):
         data: List[dict] = []
-        for d, _, files in os.walk(json_path):
+        for d, dirs, files in os.walk(json_path):
+            # deterministic traversal: os.walk yields subdirs in
+            # filesystem order, which can differ between hosts — and the
+            # multi-host loader requires every host to build the
+            # IDENTICAL sample order (stable length-sort preserves ties)
+            dirs.sort()
             for fn in sorted(files):
                 if fn.endswith(".json"):
                     with open(os.path.join(d, fn)) as f:

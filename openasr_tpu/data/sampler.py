@@ -90,23 +90,36 @@ class FrameBasedSampler(BudgetBatchSampler):
 
 
 class CountBatchSampler:
-    """Fixed-count batches (text/LM/token datasets)."""
+    """Fixed-count batches (text/LM/token datasets).
+
+    With shuffle, the SAMPLES are re-permuted and re-partitioned into new
+    batches every epoch — the reference's torch DataLoader(shuffle=True)
+    semantics.  Shuffling only the batch order would freeze batch
+    composition at construction: with a topic-sorted text corpus every
+    batch stays topically homogeneous forever."""
 
     def __init__(self, n: int, batch_size: int, shuffle=False, seed=0, drop_last=False):
-        idx = np.arange(n)
+        self.n = n
+        self.batch_size = batch_size
         self.shuffle = shuffle
+        self.drop_last = drop_last
         self._rng = np.random.RandomState(seed)
-        nb = n // batch_size if drop_last else (n + batch_size - 1) // batch_size
-        self.batches = [
-            list(idx[i * batch_size : (i + 1) * batch_size]) for i in range(nb)
-        ]
+
+    def _partition(self, idx):
+        bs = self.batch_size
+        nb = (
+            self.n // bs if self.drop_last
+            else (self.n + bs - 1) // bs
+        )
+        return [list(idx[i * bs:(i + 1) * bs]) for i in range(nb)]
 
     def __iter__(self):
-        order = np.arange(len(self.batches))
+        idx = np.arange(self.n)
         if self.shuffle:
-            self._rng.shuffle(order)
-        for i in order:
-            yield self.batches[i]
+            self._rng.shuffle(idx)
+        for batch in self._partition(idx):
+            yield batch
 
     def __len__(self):
-        return len(self.batches)
+        bs = self.batch_size
+        return self.n // bs if self.drop_last else (self.n + bs - 1) // bs

@@ -97,7 +97,9 @@ class SubwordTokenizer(CharTokenizer):
             syms = [s for s in syms if s not in SPECIAL_SYM_SET]
         if split_token:
             return " ".join(syms).replace("@@ ", "")
-        return "".join(syms)
+        # unsplit form: the continuation markers must still be removed
+        # ('hel@@' + 'lo' -> 'hello', not 'hel@@lo')
+        return "".join(syms).replace("@@", "")
 
 
 def build_tokenizer(vocab_path: str, add_blk: bool = False, kind: str = "char"):

@@ -140,7 +140,7 @@ class CIF(Framework):
     @classmethod
     def build_module(cls, configs, dtype=jnp.float32):
         return CIFModule(
-            splayer=splayer_from_config(configs.signal, dtype),
+            splayer=splayer_from_config(configs.signal),
             encoder=TransformerEncoder.from_config(configs.encoder, dtype),
             assigner=_assigner_from(configs, dtype),
             decoder=cif_decoder_from_config(configs.decoder, dtype),
@@ -216,32 +216,25 @@ class CIF(Framework):
             )
             return logits, {"prefix": prefix}
 
-        lm_step_fn = init_lm_cache = None
-        if lm is not None and lm_weight != 0.0:
-            from openasr_tpu.models.lm import LSTMLM
+        from openasr_tpu.models.lm import make_lm_fusion
 
-            lm_module = lm.module if hasattr(lm, "module") else lm
-            lm_p = lm_params if lm_params is not None else lm.params
-            init_lm_cache = lm_module.apply(
-                {"params": lm_p}, b * beam_size, method=LSTMLM.init_carries
-            )
-
-            def lm_step_fn(tokens, lm_cache):
-                return lm_module.apply(
-                    {"params": lm_p}, tokens, lm_cache, method=LSTMLM.step
-                )
+        lm_step_fn, init_lm_cache = make_lm_fusion(
+            lm if lm_weight != 0.0 else None, lm_params, b * beam_size
+        )
 
         vocab = self.configs.decoder["vocab_size"]
-        preds, lens, scores = batch_beam_search(
+        # use_eos=False: the reference emits exactly one token per CIF
+        # position with no EOS finishing — early EOS stopping would both
+        # truncate hypotheses and freeze their scores mid-decode
+        # (Speech_Models.py:426-485 loops over every encoded position)
+        preds, _, scores = batch_beam_search(
             step_fn, cache, b, beam_size, max_decode_len, vocab,
             lm_step_fn=lm_step_fn, init_lm_cache=init_lm_cache,
-            lm_weight=lm_weight,
+            lm_weight=lm_weight, use_eos=False,
         )
-        # output length is the CIF length (no EOS stopping in the reference)
+        # output length IS the CIF length
         cif_lens_b = jnp.minimum(cif_lens, max_decode_len)[:, None]
-        lens = jnp.minimum(
-            jnp.broadcast_to(cif_lens_b, lens.shape), lens
-        )
+        lens = jnp.broadcast_to(cif_lens_b, scores.shape).astype(jnp.int32)
         return preds, lens, scores
 
     def fc_component_names(self):
@@ -266,7 +259,7 @@ class CIFFC(Framework):
     def create_model(cls, configs, rng=None, dtype=jnp.float32):
         configs = Config(configs)
         module = CIFModule(
-            splayer=splayer_from_config(configs.signal, dtype),
+            splayer=splayer_from_config(configs.signal),
             encoder=TransformerEncoder.from_config(configs.encoder, dtype),
             assigner=_assigner_from(configs, dtype),
             vocab_size=int(configs.decoder["vocab_size"]),
@@ -329,7 +322,7 @@ class CIFMIX(CIFFC):
     def create_model(cls, configs, rng=None, dtype=jnp.float32):
         configs = Config(configs)
         module = CIFModule(
-            splayer=splayer_from_config(configs.signal, dtype),
+            splayer=splayer_from_config(configs.signal),
             encoder=TransformerEncoder.from_config(configs.encoder, dtype),
             assigner=_assigner_from(configs, dtype),
             char_decoder=transformer_decoder_from_config(configs.decoder, dtype),

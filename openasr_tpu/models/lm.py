@@ -55,10 +55,17 @@ class LSTMLM(nn.Module):
         self.dropout = nn.Dropout(self.dropout_rate)
 
     def __call__(self, ids, deterministic: bool = True):
+        # dropout sites mirror the reference exactly: after the
+        # embedding (dropout1), BETWEEN LSTM layers (torch nn.LSTM's
+        # dropout= applies to every layer's output except the last),
+        # and after the stack (dropout2) — lm_layers.py:40-55
         x = self.emb(ids.astype(jnp.int32))
         x = self.dropout(x, deterministic=deterministic)
-        for rnn in self.rnns:
+        for i, rnn in enumerate(self.rnns):
             x = rnn(x)
+            if i < len(self.rnns) - 1:
+                x = self.dropout(x, deterministic=deterministic)
+        x = self.dropout(x, deterministic=deterministic)
         return self.emb.attend(x) + self.out_bias
 
     def step(self, tokens, carries):
@@ -175,3 +182,24 @@ class TransformerLMModel(_LMFramework):
             {"params": rng, "dropout": rng}, jnp.zeros((2, 8), jnp.int32)
         )
         return cls(module, variables["params"], configs)
+
+
+def make_lm_fusion(lm, lm_params, bb: int):
+    """(lm_step_fn, init_lm_cache) for LSTM-LM shallow fusion over bb
+    beam rows; (None, None) when no LM is given.  Shared by every
+    batch_beam_decode (speech.py / cif.py) so the carry-init and step
+    plumbing cannot drift between families."""
+    if lm is None:
+        return None, None
+    lm_module = lm.module if hasattr(lm, "module") else lm
+    lm_p = lm_params if lm_params is not None else lm.params
+    init_lm_cache = lm_module.apply(
+        {"params": lm_p}, bb, method=LSTMLM.init_carries
+    )
+
+    def lm_step_fn(tokens, lm_cache):
+        return lm_module.apply(
+            {"params": lm_p}, tokens, lm_cache, method=LSTMLM.step
+        )
+
+    return lm_step_fn, init_lm_cache

@@ -36,7 +36,10 @@ from openasr_tpu.ops.specaug import spec_aug_config_from_cfg
 Dtype = Any
 
 
-def splayer_from_config(signal_cfg, dtype=jnp.float32) -> SPLayer:
+def splayer_from_config(signal_cfg) -> SPLayer:
+    """SPLayer deliberately has NO dtype: the signal frontend always runs
+    f32 (precision policy, docs/DESIGN.md §6 — fbank feeds log(), where
+    bf16 relative error is audible); the encoder casts afterward."""
     signal_cfg = signal_cfg or {}
     spec_cfg = signal_cfg.get("spec_aug")
     return SPLayer(
@@ -87,7 +90,7 @@ class ConvTransformer(Framework):
     @classmethod
     def build_module(cls, configs: Config, dtype=jnp.float32):
         return ConvTransformerModule(
-            splayer=splayer_from_config(configs.signal, dtype),
+            splayer=splayer_from_config(configs.signal),
             encoder=TransformerEncoder.from_config(configs.encoder, dtype),
             decoder=transformer_decoder_from_config(configs.decoder, dtype),
         )
@@ -149,20 +152,11 @@ class ConvTransformer(Framework):
                 max_decode_len, method=type(module).decode_step,
             )
 
-        lm_step_fn = init_lm_cache = None
-        if lm is not None and lm_weight != 0.0:
-            from openasr_tpu.models.lm import LSTMLM
+        from openasr_tpu.models.lm import make_lm_fusion
 
-            lm_module = lm.module if hasattr(lm, "module") else lm
-            lm_p = lm_params if lm_params is not None else lm.params
-            init_lm_cache = lm_module.apply(
-                {"params": lm_p}, b * beam_size, method=LSTMLM.init_carries
-            )
-
-            def lm_step_fn(tokens, lm_cache):
-                return lm_module.apply(
-                    {"params": lm_p}, tokens, lm_cache, method=LSTMLM.step
-                )
+        lm_step_fn, init_lm_cache = make_lm_fusion(
+            lm if lm_weight != 0.0 else None, lm_params, b * beam_size
+        )
 
         vocab = self.configs.decoder["vocab_size"]
         return batch_beam_search(
@@ -201,7 +195,7 @@ class ConvCTC(Framework):
     def create_model(cls, configs, rng=None, dtype=jnp.float32):
         configs = Config(configs)
         module = ConvCTCModule(
-            splayer=splayer_from_config(configs.signal, dtype),
+            splayer=splayer_from_config(configs.signal),
             encoder=TransformerEncoder.from_config(configs.encoder, dtype),
             vocab_size=int(configs.decoder["vocab_size"]),
         )
@@ -259,7 +253,7 @@ class ConvCTCTransformer(ConvTransformer):
     @classmethod
     def build_module(cls, configs: Config, dtype=jnp.float32):
         return ConvCTCTransformerModule(
-            splayer=splayer_from_config(configs.signal, dtype),
+            splayer=splayer_from_config(configs.signal),
             encoder=TransformerEncoder.from_config(configs.encoder, dtype),
             decoder=transformer_decoder_from_config(configs.decoder, dtype),
         )
@@ -353,6 +347,16 @@ class GRUCTC(Framework):
         if updates is not None:
             out["batch_stats"] = updates["batch_stats"]
         return out
+
+    def get_logits(self, params, inputs, lengths):
+        variables = {"params": params}
+        if self.batch_stats is not None:
+            variables["batch_stats"] = self.batch_stats
+        return self.module.apply(variables, inputs, lengths)
+
+    def greedy_decode(self, params, inputs, lengths):
+        logits, len_logits = self.get_logits(params, inputs, lengths)
+        return ctc_greedy_decode(logits, len_logits)
 
     def load_splayer(self, pkg: dict) -> None:
         """Warm-start the WavConv front from a CPC package and freeze it

@@ -48,8 +48,16 @@ def batch_beam_search(
     lm_step_fn: Callable = None,
     init_lm_cache=None,
     lm_weight: float = 0.0,
+    use_eos: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run beam search, optionally with LM shallow fusion.
+
+    use_eos=False runs every beam for the full max_decode_len with no
+    EOS finishing or score freezing — the reference's CIF decode, which
+    emits exactly one token per CIF position and accumulates scores over
+    the whole padded loop (Speech_Models.py:426-485); lengths come back
+    as max_decode_len and the caller slices to its own per-utterance
+    lengths.
 
     Args:
       step_fn: (tokens [BB], index, cache) -> (logits [BB, V], cache);
@@ -100,8 +108,9 @@ def batch_beam_search(
         if use_lm:
             lm_logp, lm_cache = lm_step_fn(tokens, lm_cache)
             z = z + lm_weight * lm_logp.astype(jnp.float32)
-        # finished beams: force EOS with logprob 0 (score freeze)
-        z = jnp.where(finished[:, None], eos_onehot_row, z)
+        if use_eos:
+            # finished beams: force EOS with logprob 0 (score freeze)
+            z = jnp.where(finished[:, None], eos_onehot_row, z)
 
         next_scores, next_tokens = lax.top_k(z, beam_size)  # [BB, beam]
         comb = (scores[:, None] + next_scores).reshape(
@@ -117,7 +126,9 @@ def batch_beam_search(
             preds, new_tokens[:, None], step, axis=1
         )
         scores = top_scores.reshape(-1)
-        finished = finished[beam_src] | (new_tokens == eos_id)
+        finished = finished[beam_src]
+        if use_eos:
+            finished = finished | (new_tokens == eos_id)
         cache = jax.tree_util.tree_map(lambda x: x[beam_src], cache)
         if use_lm:
             lm_cache = jax.tree_util.tree_map(
@@ -130,13 +141,18 @@ def batch_beam_search(
              (init_cache, init_lm_cache))
     _, _, preds, scores, _, _ = lax.while_loop(cond, body, state)
 
-    # lengths: tokens before the first EOS
-    is_eos = preds == eos_id
-    lengths = jnp.where(
-        jnp.any(is_eos, axis=1),
-        jnp.argmax(is_eos, axis=1),
-        max_decode_len,
-    ).astype(jnp.int32)
+    if use_eos:
+        # lengths: tokens before the first EOS
+        is_eos = preds == eos_id
+        lengths = jnp.where(
+            jnp.any(is_eos, axis=1),
+            jnp.argmax(is_eos, axis=1),
+            max_decode_len,
+        ).astype(jnp.int32)
+    else:
+        lengths = jnp.full(
+            (preds.shape[0],), max_decode_len, jnp.int32
+        )
 
     # per-batch sort by score descending (reference: Speech_Models.py:193-203)
     scores_b = scores.reshape(batch_size, beam_size)

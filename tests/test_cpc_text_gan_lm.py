@@ -252,3 +252,25 @@ def test_lstm_lm_step_matches_full():
         np.testing.assert_allclose(
             np.asarray(logp), full_logp[:, t], rtol=1e-4, atol=1e-5
         )
+
+
+def test_gru_ctc_greedy_decode():
+    """gru_ctc is listed as a CTC model by bin/infer.py — it must expose
+    get_logits/greedy_decode (threading BatchNorm running stats) or every
+    GRU-CTC decode crashes after the model load."""
+    cfg = Config({
+        "type": "gru_ctc",
+        "signal": {"d_model": 16},
+        "encoder": {"d_input": 16, "d_model": 16, "n_layers": 1,
+                    "dropout": 0.0},
+        "decoder": {"vocab_size": 10},
+    })
+    m = get_model_class("gru_ctc").create_model(cfg)
+    rng = np.random.RandomState(0)
+    n = 160 * 10
+    waves = rng.randn(2, n).astype(np.float32)
+    lens = np.array([n, n - 320], np.int32)
+    logits, len_logits = m.get_logits(m.params, waves, lens)
+    assert logits.shape[-1] == 10 and len(len_logits) == 2
+    ids, out_lens = m.greedy_decode(m.params, waves, lens)
+    assert ids.shape[0] == 2 and np.all(np.asarray(out_lens) >= 0)
