@@ -90,7 +90,12 @@ def main(argv=None):
     else:
         test_set = SpeechDataset(args.json_file, feat_range=(1, 10**9),
                                  label_range=(0, 10**9), rate_in_out=(0, 10**9))
-        collate = WaveCollate(tokenizer, False, label_type=args.label_type)
+        collate = WaveCollate(
+            tokenizer, False, label_type=args.label_type,
+            expected_rate=(configs.signal or {}).get("sample_rate", 16000)
+            if (configs.signal or {}).get("feature_type") == "fbank"
+            else None,
+        )
         sampler = TimeBasedSampler(test_set, args.batch_frames, 1)
     loader = DataLoader(test_set, sampler, collate, num_workers=2)
 

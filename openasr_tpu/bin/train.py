@@ -106,7 +106,14 @@ def build_loaders(dataconfig, trainingconfig, modelconfig, tokenizer, ndata,
         )
         valid_set = SpeechDataset(dataconfig["devset"], reverse=True)
         collate = WaveCollate(
-            tokenizer, modelconfig.get("add_eos", False), label_type
+            tokenizer, modelconfig.get("add_eos", False), label_type,
+            # fbank geometry is derived from signal.sample_rate: reject
+            # files at a different rate instead of silently computing
+            # features at the wrong time/frequency scale.  Raw-wave
+            # (feature_type 'wave') models are not rate-validated.
+            expected_rate=modelconfig["signal"].get("sample_rate", 16000)
+            if modelconfig["signal"].get("feature_type") == "fbank"
+            else None,
         )
         tr_sampler = TimeBasedSampler(
             train_set, int(trainingconfig["batch_time"]) * ndata, ndata,

@@ -76,6 +76,8 @@ def read_wav_fd(f: BinaryIO) -> Tuple[int, np.ndarray]:
             arr = np.frombuffer(data, dtype=endian + "i4")
         elif bits == 24:
             b3 = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            if endian == ">":  # RIFX: bytes arrive MSB-first
+                b3 = b3[:, ::-1]
             arr = (
                 b3[:, 0].astype(np.int32)
                 | (b3[:, 1].astype(np.int32) << 8)

@@ -96,10 +96,22 @@ def gen_causal_targets(
 
 # ------------------------------------------------------------ batch loaders
 
-def load_wave_batch(paths: List[str], quantize_shapes=True):
+def load_wave_batch(paths: List[str], quantize_shapes=True,
+                    expected_rate=None):
+    """expected_rate, when given (the model signal config's sample_rate),
+    is validated against every decoded file: fbank geometry (window,
+    shift, mel banks) is derived from it, so an 8 kHz wav in a 16 kHz
+    config would silently produce features at the wrong time/frequency
+    scale."""
     waves, lengths = [], []
     for p in paths:
-        _, w = load_wave(p)
+        rate, w = load_wave(p)
+        if expected_rate is not None and int(rate) != int(expected_rate):
+            raise ValueError(
+                f"{p}: sample rate {rate} != configured "
+                f"{expected_rate}; resample offline "
+                "(ops/fbank.py:resample_waveform) or fix signal.sample_rate"
+            )
         waves.append(w.astype(np.float32))
         lengths.append(len(w))
     n = quantize(max(lengths), quantize_shapes)
@@ -168,15 +180,17 @@ class WaveCollate:
     (reference: src/dataload/collates.py:45-67 WaveSampleCollate)."""
 
     def __init__(self, tokenizer, add_eos=False, label_type="tokens",
-                 quantize_shapes=True):
+                 quantize_shapes=True, expected_rate=None):
         self.tokenizer = tokenizer
         self.add_eos = add_eos
         self.label_type = label_type
         self.quantize_shapes = quantize_shapes
+        self.expected_rate = expected_rate
 
     def __call__(self, batch: List[dict]) -> Dict:
         waves, wave_lengths = load_wave_batch(
-            [d["feat"] for d in batch], self.quantize_shapes
+            [d["feat"] for d in batch], self.quantize_shapes,
+            expected_rate=self.expected_rate,
         )
         rawids = [self.tokenizer.encode(d[self.label_type]) for d in batch]
         umax = quantize(max(len(r) for r in rawids) + 2, self.quantize_shapes)

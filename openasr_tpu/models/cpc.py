@@ -133,7 +133,12 @@ class CPCModel(Framework):
 
         # anchor in [1, min_len_z - K - 1] (reference: CPC_Models.py:36)
         min_len_z = jnp.min(lengths) // 160
-        hi = jnp.maximum(min_len_z - n_steps - 1, 2)
+        # randint's maxval is EXCLUSIVE while the reference's
+        # random.randint(1, min_len - K - 1) is inclusive: the exclusive
+        # bound is min_len - K, so the last legal anchor (prediction
+        # window ending exactly at the shortest utterance's final frame)
+        # is reachable (reference: CPC_Models.py:36)
+        hi = jnp.maximum(min_len_z - n_steps, 2)
         key = rngs.get("aug", jax.random.PRNGKey(0)) if rngs else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         t_samples = jax.random.randint(k1, (), 1, hi)

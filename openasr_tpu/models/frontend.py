@@ -78,9 +78,13 @@ class WavConv(nn.Module):
                 self.d_model, (k,), strides=(s,), padding=[(p, p)],
                 use_bias=False, dtype=self.dtype, name=f"conv{i}",
             )(x)
+            # flax momentum is the EMA retention factor: torch's
+            # BatchNorm1d momentum=0.1 (reference default) == flax 0.9;
+            # flax's own default 0.99 would converge running stats 10x
+            # slower than the reference
             x = nn.BatchNorm(
                 use_running_average=use_running_average,
-                dtype=self.dtype, name=f"bn{i}",
+                momentum=0.9, dtype=self.dtype, name=f"bn{i}",
             )(x)
             x = nn.relu(x)
         out_lengths = wave_lengths // 160

@@ -33,12 +33,18 @@ from openasr_tpu.ops.masks import sequence_mask
 
 Dtype = Any
 
-PAD_ID = 2  # reference: GAN_Models.py:12
-
-
 class DiscriminatorModule(nn.Module):
     """Conv2dSubsampleV2 encoder -> linear -> mean-pooled scalar score
-    (reference: Discriminators.py:15-35)."""
+    (reference: Discriminators.py:15-35).
+
+    Deliberate deviation: the temporal mean is LENGTH-NORMALIZED (masked
+    mean over each sample's valid encoded frames).  The reference divides
+    by the batch-max time after slicing (Discriminators.py:33 `.mean(1)`
+    over inputs sliced to lengths.max()), which makes both the scores and
+    the WGAN gradient-penalty magnitude depend on how the batch happened
+    to be padded — under static-shape bucketing that dependence would
+    vary with the quantization ladder, so the masked mean (invariant to
+    padding) is the faithful-in-spirit choice."""
 
     d_input: int
     d_model: int
@@ -63,8 +69,12 @@ class DiscriminatorModule(nn.Module):
         min_t = 4 * self.layer_num + 4
         if t < min_t:
             x = jnp.pad(x, ((0, 0), (0, min_t - t), (0, 0)))
-        encoded, _ = self.encoder(x, lengths)
-        return jnp.mean(self.score_fc(encoded)[..., 0], axis=1)
+        encoded, enc_lens = self.encoder(x, lengths)
+        scores = self.score_fc(encoded)[..., 0]
+        m = sequence_mask(enc_lens, encoded.shape[1], dtype=jnp.float32)
+        return jnp.sum(scores * m, axis=1) / jnp.maximum(
+            jnp.sum(m, axis=1), 1.0
+        )
 
 
 class GANModule(nn.Module):

@@ -150,7 +150,11 @@ class EmbedDecoderCTC(Framework):
         # the reference calls this component 'decoder' in configs although
         # it is an encoder stack (Text_Models.py:117-124)
         enc_cfg = Config(configs.decoder.to_dict())
-        enc_cfg["input_dim"] = int(configs.decoder["d_model"])
+        if not enc_cfg.get("input_dim"):
+            # the stack's input is the EMBEDDING output (encoder.d_model);
+            # when the widths differ the encoder's affine front projects
+            # emb_dim -> d_model (reference Linear(input_dim, d_model))
+            enc_cfg["input_dim"] = int(configs.encoder["d_model"])
         if "sub" not in enc_cfg:
             enc_cfg["sub"] = None
         return EmbedDecoderCTCModule(
