@@ -16,7 +16,7 @@ import os
 import jax
 import jax.numpy as jnp
 
-from openasr_tpu.config import load_config, parse_range
+from openasr_tpu.config import load_config, parse_range, validate_config
 from openasr_tpu.data.collate import FeatureCollate, WaveCollate
 from openasr_tpu.data.loader import DataLoader
 from openasr_tpu.data.manifest import ArkDataset, SpeechDataset
@@ -154,9 +154,28 @@ def main(argv=None):
         jax.distributed.initialize()
 
     config = load_config(args.config)
+    validate_config(config, required=(
+        "data.trainset", "data.devset", "data.vocab_path",
+        "model.type", "training.exp_dir", "training.num_epoch",
+        "training.init_lr", "training.optimtype",
+        "training.lr_scheduler.type",
+    ))
     dataconfig = config["data"]
     trainingconfig = config["training"]
     modelconfig = config["model"]
+    # the batch budget key depends on the pipeline: offline features pack
+    # by frames, online waves by samples (a bare KeyError otherwise)
+    mtype0 = _norm_type(modelconfig)
+    offline = (mtype0 in ("cif_fc", "cif_mix")
+               or modelconfig["signal"]["feature_type"] == "offline")
+    budget_key = "batch_frames" if offline else "batch_time"
+    if budget_key not in trainingconfig:
+        raise ValueError(
+            f"config: training.{budget_key} is required for the "
+            f"{'offline-feature' if offline else 'online-wave'} pipeline "
+            f"({'cumulative frames' if offline else 'cumulative samples'} "
+            "per batch)"
+        )
 
     mesh = make_mesh(model=args.model_parallel)
     ndata = mesh.shape["data"]

@@ -15,7 +15,7 @@ import os
 import jax
 
 from openasr_tpu.bin.train import setup_logging
-from openasr_tpu.config import load_config, parse_range
+from openasr_tpu.config import load_config, validate_config, parse_range
 from openasr_tpu.data.collate import WaveCollate, WaveOnlyCollate
 from openasr_tpu.data.loader import DataLoader
 from openasr_tpu.data.manifest import SpeechDataset
@@ -43,6 +43,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
+    validate_config(config, required=("data.trainset", "data.devset", "training.exp_dir", "training.batch_time", "training.lr_scheduler.type"))
     dataconfig = config["data"]
     trainingconfig = config["training"]
     modelconfig = config["model"]

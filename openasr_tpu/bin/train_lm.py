@@ -12,7 +12,7 @@ import argparse
 import os
 
 from openasr_tpu.bin.train import setup_logging
-from openasr_tpu.config import load_config
+from openasr_tpu.config import load_config, validate_config
 from openasr_tpu.data.collate import TextCollate
 from openasr_tpu.data.loader import DataLoader
 from openasr_tpu.data.manifest import TextLineByLineDataset
@@ -38,6 +38,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
+    validate_config(config, required=("data.trainset", "data.devset", "data.vocab_path", "training.exp_dir", "training.lr_scheduler.type"))
     dataconfig = config["data"]
     trainingconfig = config["training"]
     modelconfig = config["model"]

@@ -12,7 +12,7 @@ import logging
 import os
 
 from openasr_tpu.bin.train import setup_logging
-from openasr_tpu.config import load_config, parse_range
+from openasr_tpu.config import load_config, validate_config, parse_range
 from openasr_tpu.data.collate import PhoneCharCollate
 from openasr_tpu.data.loader import DataLoader
 from openasr_tpu.data.manifest import PhoneCharDataset
@@ -38,6 +38,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
+    validate_config(config, required=("data.trainset", "data.devset", "data.vocab_phone", "data.vocab_char", "training.exp_dir", "training.lr_scheduler.type"))
     dataconfig = config["data"]
     trainingconfig = config["training"]
     modelconfig = config["model"]

@@ -99,6 +99,120 @@ class Config(dict):
         return self
 
 
+# --------------------------------------------------------------- validation
+#
+# The reference silently ignored unknown YAML keys (src/train.py:55-61 reads
+# sections ad hoc), so a typo like `feature_size:` for `num_mel_bins:`
+# trains a model with the DEFAULT value and no diagnostic.  The rebuild
+# warns on keys no component consumes — with a did-you-mean hint — and
+# turns missing-required-key crashes (bare KeyError deep in a solver) into
+# actionable errors at load time.  Unknown keys stay warnings, never
+# errors: configs may carry annotations and forward-compat knobs.
+
+_KNOWN_KEYS: dict = {
+    "": {"data", "model", "training"},
+    "data": {
+        "trainset", "devset", "vocab_path", "vocab_phone", "vocab_char",
+        "feat_range", "label_range", "fetchworker_num", "acousticset",
+        "unpaired_phone", "unpaired_text",
+    },
+    "training": {
+        "label_type", "batch_frames", "batch_time", "batch_phones",
+        "batch_size", "unpaired_batch_size", "exp_dir", "print_inteval",
+        "num_epoch", "accumulate_grad_batch", "init_lr", "optimtype",
+        "grad_max_norm", "label_smooth", "num_last_ckpt_keep",
+        "lambda_ctc", "lambda_qua", "lambda_gp", "lr_scheduler",
+        "compute_dtype", "adam_mu_dtype", "adam_nu_dtype", "fused_adam",
+        "pretrained_model", "load_splayer", "G_path", "maxlen", "multi",
+        "tensorboard", "profile",
+    },
+    "training.lr_scheduler": {
+        "type", "warmup_step", "d_model", "x0", "y0", "x1", "y1",
+        "decay_coef", "tolerate",
+    },
+    "model": {
+        "type", "add_eos", "add_blk", "phone_size", "signal", "encoder",
+        "decoder", "assigner", "cpc", "G", "D",
+        # train_cpc's `sp` alias for `signal`; LM configs are flat at the
+        # model level (bin/train_lm.py)
+        "sp", "vocab_size", "d_model", "n_layers", "num_layers", "nhead",
+        "dim_feedforward", "activation", "dropout_rate",
+    },
+    "model.signal": {
+        "feature_type", "sample_rate", "num_mel_bins", "use_energy",
+        "dither", "spec_aug", "d_model",
+    },
+    "model.signal.spec_aug": {
+        "freq_mask_num", "freq_mask_width", "time_mask_num",
+        "time_mask_width",
+    },
+    "model.encoder": {
+        "type", "sub", "input_dim", "d_input", "d_model", "nhead",
+        "dim_feedforward", "activation", "num_layers", "n_layers",
+        "dropout_rate", "dropout", "remat", "vocab_size", "conv_dim",
+        "freeze_finetune_updates", "subsample", "context_width",
+    },
+    "model.encoder.sub": {"type", "layer_num"},
+    "model.decoder": {
+        "type", "vocab_size", "d_model", "nhead", "num_layers",
+        "encoder_dim", "dim_feedforward", "activation", "dropout_rate",
+        "remat",
+    },
+    "model.assigner": {"type", "d_model", "n_layers", "w_context", "dropout"},
+    "model.cpc": {"d_input", "d_coding", "n_layers", "n_steps"},
+}
+# G/D reuse the encoder/decoder schemas
+_KNOWN_KEYS["model.G"] = {"encoder", "decoder"}
+_KNOWN_KEYS["model.D"] = {"encoder"}
+_KNOWN_KEYS["model.G.encoder"] = _KNOWN_KEYS["model.encoder"]
+_KNOWN_KEYS["model.G.decoder"] = _KNOWN_KEYS["model.decoder"]
+# the discriminator front is a strided-conv stack, not a transformer
+_KNOWN_KEYS["model.D.encoder"] = {"d_input", "d_model", "layer_num"}
+
+
+def validate_config(config: Mapping, required: Sequence[str] = ()) -> list:
+    """Check a loaded config tree against the known key surface.
+
+    Unknown keys log a warning (with a closest-match hint) and are
+    returned; missing `required` dotted paths raise ValueError with the
+    path spelled out.  Sections without a schema entry (free-form, e.g.
+    future extensions) are not descended into.
+    """
+    import difflib
+    import logging
+
+    unknown = []
+
+    def walk(section: Mapping, path: str) -> None:
+        known = _KNOWN_KEYS.get(path)
+        if known is None:
+            return
+        for k, v in section.items():
+            full = f"{path}.{k}" if path else str(k)
+            if k not in known:
+                hint = difflib.get_close_matches(str(k), known, n=1)
+                msg = f"config: unrecognized key '{full}'"
+                if hint:
+                    msg += f" — did you mean '{hint[0]}'?"
+                logging.warning(msg)
+                unknown.append(full)
+            elif isinstance(v, Mapping):
+                walk(v, full)
+
+    walk(config, "")
+
+    for path in required:
+        node: Any = config
+        for part in path.split("."):
+            if not isinstance(node, Mapping) or part not in node:
+                raise ValueError(
+                    f"config: required key '{path}' is missing "
+                    f"(stuck at '{part}')"
+                )
+            node = node[part]
+    return unknown
+
+
 def parse_range(value: Any) -> tuple | None:
     """Parse the reference's ad-hoc string ranges, e.g. feat_range: "1,1000"
     (reference: src/train.py:60-61)."""

@@ -71,7 +71,12 @@ class Conv2dSubsampleV2(nn.Module):
                         dtype=self.dtype, name=f"conv{i}")(x)
             )
         b, t, d, c = x.shape
-        assert d == self.d_input - 2 * self.layer_num
+        assert d == self.d_input - 2 * self.layer_num, (
+            f"encoder input_dim={self.d_input} does not match the feature "
+            f"dim actually produced upstream (got {d + 2 * self.layer_num} "
+            "features) — check model.encoder.input_dim against the offline "
+            "feature width or model.signal.num_mel_bins"
+        )
         x = x.transpose(0, 1, 3, 2).reshape(b, t, c * d)
         x = nn.Dense(self.d_model, kernel_init=XAVIER_UNIFORM,
                      dtype=self.dtype, name="affine")(x)
