@@ -171,48 +171,21 @@ def _device_ms_per_step(step_fn, block_fn, n_steps=5):
     trace's device lane records the hardware's own timing; the summed
     duration of the jit_train_step spans divided by the step count is the
     honest number.  Returns None if tracing/parsing is unavailable."""
-    import glob
-    import gzip
-    import shutil
-    import tempfile
+    from openasr_tpu.utils.xprof import collect_device_events, sum_span_us
 
-    import jax
-
-    logdir = tempfile.mkdtemp(prefix="openasr_bench_trace_")
-    try:
-        jax.profiler.start_trace(logdir)
+    def run():
         out = None
         for i in range(n_steps):
             out = step_fn(10**7 + i)
         block_fn(out)
-        jax.profiler.stop_trace()
-        traces = glob.glob(
-            os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True
-        )
-        if not traces:
-            return None
-        with gzip.open(traces[0]) as f:
-            trace = json.load(f)
-        events = trace.get("traceEvents", [])
-        device_pids = {
-            e["pid"]
-            for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"
-            and "TPU" in e.get("args", {}).get("name", "")
-        }
-        total_us = sum(
-            e["dur"]
-            for e in events
-            if e.get("ph") == "X" and e.get("pid") in device_pids
-            and e.get("name", "").startswith("jit_train_step")
-        )
-        if total_us <= 0:
-            return None
-        return total_us / 1e3 / n_steps
-    except Exception:
+
+    events = collect_device_events(run, prefix="openasr_bench_trace_")
+    if events is None:
         return None
-    finally:
-        shutil.rmtree(logdir, ignore_errors=True)
+    total_us = sum_span_us(events, "jit_train_step")
+    if total_us <= 0:
+        return None
+    return total_us / 1e3 / n_steps
 
 
 _LAST_STEP_FN = {}

@@ -166,8 +166,17 @@ def main(argv=None):
     # the batch budget key depends on the pipeline: offline features pack
     # by frames, online waves by samples (a bare KeyError otherwise)
     mtype0 = _norm_type(modelconfig)
-    offline = (mtype0 in ("cif_fc", "cif_mix")
-               or modelconfig["signal"]["feature_type"] == "offline")
+    if mtype0 in ("cif_fc", "cif_mix"):
+        offline = True  # text/feature multitask: no signal frontend
+    else:
+        sig = modelconfig.get("signal") or {}
+        if "feature_type" not in sig:
+            raise ValueError(
+                "config: model.signal.feature_type is required "
+                "('offline' for precomputed features, or a wave frontend "
+                "like 'fbank' / 'wav_conv' for the online pipeline)"
+            )
+        offline = sig["feature_type"] == "offline"
     budget_key = "batch_frames" if offline else "batch_time"
     if budget_key not in trainingconfig:
         raise ValueError(

@@ -70,16 +70,40 @@ def get_model_class(name: str) -> type:
     return MODEL_REGISTRY[name]
 
 
+_replicate_cache: dict = {}
+
+
 def _to_numpy(tree):
     """Fetch a pytree to host NumPy.  Multi-host: a leaf sharded over
     another host's devices can't be read locally — all hosts collectively
-    all-gather it first (every host must therefore reach package() before
-    host 0 writes; see Solver.save)."""
+    replicate it first (every host must therefore reach package() before
+    host 0 writes; see Solver.save).
+
+    Replication runs on the leaf's OWN mesh: `multihost_utils` consults
+    the DEFAULT backend, which under a foreign accelerator plugin can be
+    a single-process device tunnel that disagrees with the mesh the
+    arrays actually live on (same rule as parallel/mesh.py's
+    mesh_process_index / _allgather_host_data)."""
 
     def fetch(x):
         if isinstance(x, jax.Array) and not (
             x.is_fully_addressable or x.is_fully_replicated
         ):
+            sh = x.sharding
+            if isinstance(sh, jax.sharding.NamedSharding):
+                mesh = sh.mesh
+                rep_fn = _replicate_cache.get(mesh)
+                if rep_fn is None:
+                    out = jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec()
+                    )
+                    if len(_replicate_cache) > 16:
+                        _replicate_cache.clear()
+                    rep_fn = _replicate_cache[mesh] = jax.jit(
+                        lambda a: a, out_shardings=out
+                    )
+                return np.asarray(rep_fn(x))
+            # non-Named shardings don't carry a mesh; fall back
             from jax.experimental import multihost_utils
 
             return np.asarray(multihost_utils.process_allgather(x, tiled=True))

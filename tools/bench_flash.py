@@ -96,45 +96,21 @@ def _device_us(fn, args, n):
     backend measures dispatch, not execution (round-2 finding); the
     xplane device lane is the hardware's own clock.  Returns None when
     tracing is unavailable (then the wall-clock fallback is used)."""
-    import glob
-    import gzip
-    import json
-    import shutil
-    import tempfile
+    from openasr_tpu.utils.xprof import collect_device_events, sum_span_us
 
-    logdir = tempfile.mkdtemp(prefix="bench_flash_trace_")
-    try:
-        jax.profiler.start_trace(logdir)
+    def run():
         out = None
         for _ in range(n):
             out = fn(*args)
         jax.block_until_ready(out)
-        jax.profiler.stop_trace()
-        traces = glob.glob(
-            os.path.join(logdir, "**", "*.trace.json.gz"), recursive=True
-        )
-        if not traces:
-            return None
-        with gzip.open(traces[0]) as f:
-            trace = json.load(f)
-        events = trace.get("traceEvents", [])
-        device_pids = {
-            e["pid"] for e in events
-            if e.get("ph") == "M" and e.get("name") == "process_name"
-            and "TPU" in e.get("args", {}).get("name", "")
-        }
-        total = sum(
-            e["dur"] for e in events
-            if e.get("ph") == "X" and e.get("pid") in device_pids
-            and e.get("name", "").startswith("jit_run")
-        )
-        if total <= 0:
-            return None
-        return total / (n * CHAIN)
-    except Exception:
+
+    events = collect_device_events(run, prefix="bench_flash_trace_")
+    if events is None:
         return None
-    finally:
-        shutil.rmtree(logdir, ignore_errors=True)
+    total = sum_span_us(events, "jit_run")
+    if total <= 0:
+        return None
+    return total / (n * CHAIN)
 
 
 def bench(fn, args, n=4):

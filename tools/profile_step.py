@@ -14,13 +14,9 @@ from __future__ import annotations
 
 import argparse
 import collections
-import glob
-import gzip
-import json
 import os
 import re
 import sys
-import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/openasr_jax_cache")
@@ -114,25 +110,21 @@ def trace_report(n_steps=5, model_name="flagship"):
             state["p"], state["o"], batch, jax.random.fold_in(rng, i))
         return loss
 
+    from openasr_tpu.utils.xprof import collect_device_events
+
     jax.block_until_ready(step(0))
     jax.block_until_ready(step(1))
-    logdir = tempfile.mkdtemp(prefix="openasr_prof_")
-    jax.profiler.start_trace(logdir)
-    out = None
-    for i in range(n_steps):
-        out = step(100 + i)
-    jax.block_until_ready(out)
-    jax.profiler.stop_trace()
-    traces = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
-                       recursive=True)
-    with gzip.open(traces[0]) as f:
-        trace = json.load(f)
-    events = trace.get("traceEvents", [])
-    device_pids = {
-        e["pid"] for e in events
-        if e.get("ph") == "M" and e.get("name") == "process_name"
-        and "TPU" in e.get("args", {}).get("name", "")
-    }
+
+    def run():
+        out = None
+        for i in range(n_steps):
+            out = step(100 + i)
+        jax.block_until_ready(out)
+
+    events = collect_device_events(run, prefix="openasr_prof_")
+    if events is None:
+        print("tracing unavailable: no device-lane events captured")
+        return
     # Ops are duplicated across device lanes ("XLA Modules" + "XLA Ops"
     # threads share a pid) — dedupe by (name, ts) so each hardware event
     # counts once.
@@ -142,8 +134,6 @@ def trace_report(n_steps=5, model_name="flagship"):
     seen = set()
     total = 0.0
     for e in events:
-        if e.get("ph") != "X" or e.get("pid") not in device_pids:
-            continue
         name = e.get("name", "")
         key = (name, e.get("ts"))
         if key in seen:
