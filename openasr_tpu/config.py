@@ -123,6 +123,7 @@ _KNOWN_KEYS: dict = {
         "grad_max_norm", "label_smooth", "num_last_ckpt_keep",
         "lambda_ctc", "lambda_qua", "lambda_gp", "lr_scheduler",
         "compute_dtype", "adam_mu_dtype", "adam_nu_dtype", "fused_adam",
+        "skip_nonfinite_grads",
         "pretrained_model", "load_splayer", "G_path", "maxlen", "multi",
         "tensorboard", "profile",
     },

@@ -38,6 +38,10 @@ class FusedClipAdamState(NamedTuple):
     count: jnp.ndarray  # int32 scalar, shared by bias correction and lr
     mu: Any
     nu: Any
+    # int32 scalar: steps rejected by skip_nonfinite (0 when disabled).
+    # Always present so the state pytree shape doesn't depend on the flag
+    # (checkpoint restore maps saved leaves onto a freshly tx.init'd tree).
+    notfinite: jnp.ndarray = None  # type: ignore[assignment]
 
 
 def fused_clip_adam(
@@ -48,6 +52,7 @@ def fused_clip_adam(
     max_norm: float = 0.0,
     mu_dtype: Optional[jnp.dtype] = None,
     nu_dtype: Optional[jnp.dtype] = None,
+    skip_nonfinite: bool = False,
 ) -> optax.GradientTransformation:
     """One-pass clip-by-global-norm + Adam + (-lr) scaling.
 
@@ -56,6 +61,14 @@ def fused_clip_adam(
     (bf16 halves the optimizer's HBM traffic); the moment *computation* is
     always f32, only the stored state is cast — the same contract as
     optax.adam's mu_dtype.
+
+    skip_nonfinite: when the gradients' global norm is inf/nan (a bf16
+    overflow or a degenerate batch, e.g. a CTC alignment with no feasible
+    path), REJECT the step — params, moments, and the bias-correction
+    count stay untouched, `state.notfinite` increments — instead of
+    poisoning the parameters with nan the way a torch optimizer would.
+    The finiteness test reuses the clip pass's one norm reduction, so the
+    guard is free when clipping is on.
     """
     mu_dtype = jnp.dtype(mu_dtype) if mu_dtype is not None else None
     nu_dtype = jnp.dtype(nu_dtype) if nu_dtype is not None else None
@@ -67,25 +80,31 @@ def fused_clip_adam(
             )
         return FusedClipAdamState(
             count=jnp.zeros([], jnp.int32), mu=zeros(mu_dtype),
-            nu=zeros(nu_dtype),
+            nu=zeros(nu_dtype), notfinite=jnp.zeros([], jnp.int32),
         )
 
     def update_fn(updates, state, params=None):
         del params
-        count_inc = state.count + 1
         # --- clip scale: one reduction pass over the gradient tree.
-        if max_norm > 0:
+        finite = None
+        if max_norm > 0 or skip_nonfinite:
             leaves = jax.tree_util.tree_leaves(updates)
             g2 = sum(
                 jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves
             )
             g_norm = jnp.sqrt(g2)
+            if skip_nonfinite:
+                finite = jnp.isfinite(g_norm)
+        if max_norm > 0:
             # optax.clip_by_global_norm: scale only when norm >= max_norm
             scale = jnp.where(
                 g_norm < max_norm, 1.0, max_norm / g_norm
             ).astype(jnp.float32)
         else:
             scale = jnp.float32(1.0)
+        count_inc = state.count + (
+            finite.astype(jnp.int32) if finite is not None else 1
+        )
         # bias corrections and lr are scalars computed once
         bc1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
@@ -98,6 +117,13 @@ def fused_clip_adam(
             mu_f = b1 * mu.astype(jnp.float32) + (1.0 - b1) * gf
             nu_f = b2 * nu.astype(jnp.float32) + (1.0 - b2) * jnp.square(gf)
             u = step_size * (mu_f / bc1) / (jnp.sqrt(nu_f / bc2) + eps)
+            if finite is not None:
+                # rejected step: zero update, moments untouched.  The nans
+                # computed above are discarded by the selects (this path
+                # is never differentiated through).
+                u = jnp.where(finite, u, 0.0)
+                mu_f = jnp.where(finite, mu_f, mu.astype(jnp.float32))
+                nu_f = jnp.where(finite, nu_f, nu.astype(jnp.float32))
             return (
                 u.astype(g.dtype),
                 mu_f.astype(mu_dtype) if mu_dtype else mu_f,
@@ -110,6 +136,13 @@ def fused_clip_adam(
         )
         new_mu = jax.tree_util.tree_map(lambda _, o: o[1], updates, out)
         new_nu = jax.tree_util.tree_map(lambda _, o: o[2], updates, out)
-        return new_updates, FusedClipAdamState(count_inc, new_mu, new_nu)
+        notfinite = state.notfinite
+        if notfinite is None:  # states minted before the field existed
+            notfinite = jnp.zeros([], jnp.int32)
+        if finite is not None:
+            notfinite = notfinite + (1 - finite.astype(jnp.int32))
+        return new_updates, FusedClipAdamState(
+            count_inc, new_mu, new_nu, notfinite
+        )
 
     return optax.GradientTransformation(init_fn, update_fn)

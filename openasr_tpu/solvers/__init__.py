@@ -156,6 +156,14 @@ class Solver:
         nu_dtype = config.get("adam_nu_dtype")
         if nu_dtype in ("float32", "f32"):
             nu_dtype = None
+        # training.skip_nonfinite_grads (default on): a step whose
+        # gradients are inf/nan (bf16 overflow, degenerate CTC batch) is
+        # REJECTED — params/moments untouched, metrics.jsonl gains a
+        # nonfinite_skips counter — instead of nan-poisoning the run the
+        # way the reference's torch Adam would.  Deliberate deviation,
+        # documented in docs/MIGRATION.md; set false for exact reference
+        # blow-up semantics.
+        skip_nonfinite = bool(config.get("skip_nonfinite_grads", True))
         if (
             opt_type == "adam"
             and not gate
@@ -167,6 +175,7 @@ class Solver:
                 lr_fn, b1=0.9, b2=0.999, eps=1e-8,
                 max_norm=float(self.grad_max_norm),
                 mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+                skip_nonfinite=skip_nonfinite,
             )
             frozen = getattr(self.model, "frozen_components", ())
             if frozen:
@@ -179,12 +188,26 @@ class Solver:
                     }
                 tx = optax.masked(tx, mask)
             return tx
+        # the stock-optax fallback (freeze_gate / fused_adam: false / sgd)
+        # cannot honor a narrowed second moment: optax.adam has no nu
+        # dtype.  Say so instead of silently keeping f32.
+        if nu_dtype is not None:
+            logging.warning(
+                "training.adam_nu_dtype=%s is ignored on the non-fused "
+                "optimizer path (freeze_gate / fused_adam: false / "
+                "optimtype!=adam): the second moment stays float32",
+                config.get("adam_nu_dtype"),
+            )
         if opt_type == "adam":
             opt = optax.adam(
                 lr_fn, b1=0.9, b2=0.999, eps=1e-8,
                 mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None,
             )
         elif opt_type == "sgd":
+            if "adam_mu_dtype" in config:
+                logging.warning(
+                    "training.adam_mu_dtype is ignored with optimtype=sgd"
+                )
             opt = optax.sgd(lr_fn, momentum=0.9)
         else:
             raise ValueError(f"Unknown optimizer {opt_type}")
@@ -204,6 +227,12 @@ class Solver:
                     for k, v in params.items()
                 }
             tx = optax.masked(tx, mask)
+        if skip_nonfinite:
+            # stock-optax fallback path: same reject-the-step semantics
+            # via optax's wrapper (state exposes total_notfinite); errors
+            # out after 100 consecutive bad steps — a run that diverged
+            # for good should fail loudly, not spin.
+            tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
         return tx
 
     def _place_params(self, params):
@@ -432,11 +461,29 @@ class Solver:
                 tot[k] = tot[k] + losses[k] if k in tot else losses[k]
         return (tot, tot_norm, tot_seqs)
 
+    def _nonfinite_skips(self) -> int:
+        """Total steps rejected by skip_nonfinite_grads (0 when disabled):
+        the fused state's `notfinite` / optax's `total_notfinite`."""
+        total = 0
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+            self.opt_state
+        )[0]:
+            if jax.tree_util.keystr(path).endswith("notfinite"):
+                total += int(leaf)
+        return total
+
     def _totals_log(self, totals, timer, niter, tot_iters, phase) -> None:
         tot, tot_norm, tot_seqs = totals
         host_norm = max(float(tot_norm), 1.0)
         host_tot = {k: float(v) for k, v in tot.items()}
         sent_per_sec = float(tot_seqs) / max(timer.toc(), 1e-9)
+        skips = self._nonfinite_skips() if phase == "train" else 0
+        if skips and skips != getattr(self, "_warned_skips", 0):
+            self._warned_skips = skips
+            logger.warning(
+                "skip_nonfinite_grads: %d step(s) rejected so far "
+                "(inf/nan gradients; params untouched)", skips,
+            )
         parts = " ".join(
             f"{k}: {v / host_norm:.3f}" for k, v in host_tot.items()
         )
@@ -453,6 +500,7 @@ class Solver:
             "batch": niter,
             "lr": self.current_lr(),
             "sent_per_sec": sent_per_sec,
+            **({"nonfinite_skips": skips} if skips else {}),
             **{k: v / host_norm for k, v in host_tot.items()},
         })
 
