@@ -36,6 +36,7 @@ def export_beam_decode(
     beam_size: int = 5,
     max_decode_len: int = 60,
     platforms: Sequence[str] = ("tpu", "cpu"),
+    weights: str = "float32",
 ) -> None:
     """Export the model's decode path for each (batch, frames) bucket.
 
@@ -45,12 +46,28 @@ def export_beam_decode(
     log_probs/len_logits for a host-side prefix-beam rescore).
 
     Params stay an INPUT of the exported function (weight-independent
-    artifact: push new checkpoints without re-exporting)."""
+    artifact: push new checkpoints without re-exporting).
+
+    weights="int8": the exported program takes weight-only-quantized
+    params (quant.quantize_params) and dequantizes on device — 4x less
+    parameter HBM/transfer for the weight-bound decode path; max
+    per-weight error is half a quantization step (see quant.py).
+    Callers quantize each checkpoint once (ExportedDecoder.prepare_params
+    does it from the meta)."""
+    from openasr_tpu import quant
+
     input_dim = int(model.configs.encoder["input_dim"])
     is_ctc = not hasattr(model, "batch_beam_decode")
+    if weights not in ("float32", "int8"):
+        raise ValueError(f"weights must be float32 or int8, got {weights!r}")
+    int8 = weights == "int8"
+
+    def prep(params):
+        return quant.dequantize_params(params) if int8 else params
 
     if is_ctc:
-        def decode(params, feats, lens):
+        def decode(qparams, feats, lens):
+            params = prep(qparams)
             ids, id_lens = model.greedy_decode(params, feats, lens)
             logits, len_logits = model.get_logits(params, feats, lens)
             log_probs = jax.nn.log_softmax(
@@ -58,14 +75,18 @@ def export_beam_decode(
             )
             return ids, id_lens, log_probs, len_logits
     else:
-        def decode(params, feats, lens):
+        def decode(qparams, feats, lens):
             return model.batch_beam_decode(
-                params, feats, lens, beam_size=beam_size,
+                prep(qparams), feats, lens, beam_size=beam_size,
                 max_decode_len=max_decode_len,
             )
 
+    export_params = (
+        quant.quantize_params(model.params) if int8 else model.params
+    )
     params_spec = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), model.params
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        export_params,
     )
     exports = {}
     for b, t in buckets:
@@ -86,6 +107,7 @@ def export_beam_decode(
         "input_dim": input_dim,
         "platforms": list(platforms),
         "buckets": [[int(b), int(t)] for b, t in buckets],
+        "weights": weights,
     }
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
         zf.writestr("meta.json", json.dumps(meta, indent=1))
@@ -106,6 +128,16 @@ class ExportedDecoder:
                 data = zf.read(f"exports/{b}x{t}.stablehlo")
                 self._fns[(int(b), int(t))] = jax_export.deserialize(data)
         self.buckets = sorted(self._fns)
+
+    def prepare_params(self, params):
+        """Convert a checkpoint's param tree to the artifact's weight
+        format (int8-quantize when the export asked for it; identity
+        otherwise).  Do this ONCE per checkpoint, not per call."""
+        if self.meta.get("weights") == "int8":
+            from openasr_tpu import quant
+
+            return quant.quantize_params(params)
+        return params
 
     def _pick(self, b: int, t: int) -> Tuple[int, int]:
         # minimal padded area, not first-in-sorted-order: with buckets

@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--maxlen", type=int, default=60)
     p.add_argument("--add_blk", action="store_true", default=False)
     p.add_argument("--platforms", default="tpu,cpu")
+    p.add_argument("--int8", action="store_true", default=False,
+                   help="weight-only int8 artifact: 4x less parameter "
+                        "HBM/transfer; pair with "
+                        "ExportedDecoder.prepare_params")
     args = p.parse_args(argv)
 
     tokenizer = CharTokenizer(args.vocab_path, add_blk=args.add_blk)
@@ -58,6 +62,7 @@ def main(argv=None):
         model, buckets=buckets, path=args.out, beam_size=args.nbest,
         max_decode_len=args.maxlen,
         platforms=tuple(args.platforms.split(",")),
+        weights="int8" if args.int8 else "float32",
     )
     print(f"exported {len(buckets)} buckets -> {args.out}")
 
