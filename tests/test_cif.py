@@ -305,11 +305,16 @@ def test_cif_mix_solver_dual_loader(cif_cfg, tmp_path):
 
 
 def _opt_counts(opt_state):
-    """All optax step counters in the state tree (adam + schedule)."""
+    """All optax step counters in the state tree (adam + schedule).
+
+    Excludes apply_if_finite's notfinite_count — that one counts *rejected*
+    steps (it should stay 0 here), not applied updates.
+    """
     return [
         int(leaf)
         for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]
-        if "count" in jax.tree_util.keystr(path)
+        if "count" in (ks := jax.tree_util.keystr(path))
+        and "notfinite" not in ks
     ]
 
 
