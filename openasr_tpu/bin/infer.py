@@ -51,6 +51,12 @@ def get_args(argv=None):
     parser.add_argument("--lm_pkg", type=str, default=None,
                         help="LSTM LM package for shallow fusion")
     parser.add_argument("--lm_weight", type=float, default=0.0)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="compute dtype for the model forward; bfloat16 "
+                             "doubles MXU throughput on the decode matmuls "
+                             "(params stay float32, beam scoring stays "
+                             "float32 over the logits)")
     return parser.parse_args(argv)
 
 
@@ -78,8 +84,13 @@ def main(argv=None):
     if configs.signal and "spec_aug" in configs.signal:
         del configs.signal["spec_aug"]
 
+    import jax.numpy as jnp
+
     model_cls = get_model_class(args.model_type)
-    model = model_cls.create_model(configs)
+    compute_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        args.dtype
+    ]
+    model = model_cls.create_model(configs, dtype=compute_dtype)
     model.restore(model_pkg)
 
     if args.offline:
@@ -148,8 +159,6 @@ def main(argv=None):
     # geometric shape ladder keeps the bucket count small, so every batch
     # after the first of its bucket runs the compiled program with no
     # retrace (the reference's hot loop: src/Speech_Models.py:158).
-    import jax.numpy as jnp
-
     if is_ctc:
         @jax.jit
         def logits_fn(params, inputs, lengths):

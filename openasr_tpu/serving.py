@@ -37,6 +37,7 @@ def export_beam_decode(
     max_decode_len: int = 60,
     platforms: Sequence[str] = ("tpu", "cpu"),
     weights: str = "float32",
+    compute: str = "float32",
 ) -> None:
     """Export the model's decode path for each (batch, frames) bucket.
 
@@ -53,7 +54,11 @@ def export_beam_decode(
     parameter HBM/transfer for the weight-bound decode path; max
     per-weight error is half a quantization step (see quant.py).
     Callers quantize each checkpoint once (ExportedDecoder.prepare_params
-    does it from the meta)."""
+    does it from the meta).
+
+    `compute` is informational: the model's compute dtype is baked into
+    its module at build time (create_model(dtype=...)); pass the same
+    string here so the artifact's meta records what was exported."""
     from openasr_tpu import quant
 
     input_dim = int(model.configs.encoder["input_dim"])
@@ -108,6 +113,7 @@ def export_beam_decode(
         "platforms": list(platforms),
         "buckets": [[int(b), int(t)] for b, t in buckets],
         "weights": weights,
+        "compute": compute,
     }
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
         zf.writestr("meta.json", json.dumps(meta, indent=1))

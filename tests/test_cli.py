@@ -146,6 +146,34 @@ def test_infer_cli_and_scoring(workdir):
     assert "WER" in result.stdout
 
 
+def test_infer_cli_bf16_matches_f32(workdir):
+    """--dtype bfloat16 decodes the trained model to the same hypotheses:
+    beam scoring stays float32 over the logits, and the trained model's
+    logit margins dwarf bf16 rounding noise."""
+    from openasr_tpu.bin.infer import main as infer_main
+
+    hyp_bf16 = str(workdir / "hyp_bf16.txt")
+    infer_main([
+        "--model_type", "conv-ctc-transformer",
+        "--model_pkg", str(workdir / "exp" / "avg2.pkg"),
+        "--vocab_path", str(workdir / "vocab.txt"),
+        "--json_file", str(workdir / "train.json"),
+        "--output", hyp_bf16,
+        "--batch_frames", "300",
+        "--nbest", "2",
+        "--maxlen", "8",
+        "--offline",
+        "--add_blk",
+        "--split_token",
+        "--dtype", "bfloat16",
+    ])
+    f32 = dict(l.split(" ", 1) for l in
+               open(workdir / "hyp.txt").read().strip().split("\n"))
+    bf16 = dict(l.split(" ", 1) for l in
+                open(hyp_bf16).read().strip().split("\n"))
+    assert bf16 == f32
+
+
 def test_gen_json_tool(tmp_path):
     (tmp_path / "feats.scp").write_text("u1 /x.ark:0\nu2 /x.ark:9\n")
     (tmp_path / "utt2num_frames").write_text("u1 100\nu2 50\n")

@@ -73,6 +73,44 @@ def test_export_and_serve_roundtrip(tmp_path):
             np.full((8,), 32, np.int32))
 
 
+def test_export_bf16_compute(tmp_path):
+    """A bfloat16-compute export reproduces the live bf16 model's decode
+    and records the compute dtype in the artifact meta."""
+    import jax.numpy as jnp
+
+    from openasr_tpu.config import Config as _C
+
+    f32_model = small_model()
+    cfg = _C(dict(f32_model.configs))
+    bf16_model = get_model_class(cfg.type).create_model(
+        cfg, dtype=jnp.bfloat16
+    )
+    bf16_model.params = f32_model.params  # same weights, bf16 compute
+
+    path = str(tmp_path / "decode_bf16.aot")
+    export_beam_decode(
+        bf16_model, buckets=[(2, 32)], path=path, beam_size=2,
+        max_decode_len=6, platforms=("cpu",), compute="bfloat16",
+    )
+    dec = ExportedDecoder(path)
+    assert dec.meta["compute"] == "bfloat16"
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 32, 20).astype(np.float32)
+    lens = np.array([32, 25], np.int32)
+    ref_preds, _, ref_scores = bf16_model.batch_beam_decode(
+        bf16_model.params, feats, lens, beam_size=2, max_decode_len=6
+    )
+    preds, _, scores = dec(bf16_model.params, feats, lens)
+    np.testing.assert_array_equal(np.asarray(preds), np.asarray(ref_preds))
+    # bf16 matmul rounding differs across backends (the live decode may run
+    # on TPU, the exported CPU program on host), so scores agree only to
+    # bf16 precision; the hypotheses themselves must be identical
+    np.testing.assert_allclose(
+        np.asarray(scores), np.asarray(ref_scores), rtol=2e-2
+    )
+
+
 def test_export_ctc_kind(tmp_path):
     """CTC models export greedy ids + log-probs (kind 'ctc') since their
     decode has no on-device beam."""
