@@ -63,6 +63,9 @@ def default_platform() -> str:
     the actual default device."""
     dev = jax.config.jax_default_device
     if dev is not None:
+        # jax validates this config at set time: a string here is always a
+        # bare platform name ("cpu"/"tpu"/...), never a device spec or a
+        # plugin name, so it can be returned verbatim
         return dev if isinstance(dev, str) else dev.platform
     env = os.environ.get("JAX_PLATFORMS", "")
     if env:

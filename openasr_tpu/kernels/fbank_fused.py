@@ -42,8 +42,7 @@ from jax.experimental import pallas as pl
 EPSILON = float(np.finfo(np.float32).eps)
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from openasr_tpu.kernels._util import round_up as _round_up
 
 
 @functools.lru_cache(maxsize=4)

@@ -52,12 +52,7 @@ DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 512
 
 
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
-
-
-def _round_up(x: int, m: int) -> int:
-    return _cdiv(x, m) * m
+from openasr_tpu.kernels._util import cdiv as _cdiv, round_up as _round_up
 
 
 def _causal_mask(s, qb, kb, block_q, block_k):
@@ -119,9 +114,9 @@ def attention_dropout_mask(
     )[:, :, None, None]
     qpos = jnp.arange(tq, dtype=jnp.uint32)[None, None, :, None]
     kpos = jnp.arange(tk, dtype=jnp.uint32)[None, None, None, :]
-    x = qpos * jnp.uint32(2654435761) + kpos
-    x = x ^ (seed + bh * jnp.uint32(_GOLDEN))
-    return _hash_u32(x) < _keep_threshold(dropout_rate)
+    return _keep_from_positions(
+        seed, bh, qpos, kpos, _keep_threshold(dropout_rate)
+    )
 
 
 def _block_keep(seed_ref, bh, qb, kb, block_q, block_k, shape, dropout_rate):

@@ -32,12 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _cdiv(a: int, b: int) -> int:
-    return -(-a // b)
-
-
-def _round_up(x: int, m: int) -> int:
-    return _cdiv(x, m) * m
+from openasr_tpu.kernels._util import cdiv as _cdiv, round_up as _round_up
 
 
 def _block_rows(n: int, d: int) -> int:

@@ -62,12 +62,22 @@ def spec_aug(
     k_f, k_t = jax.random.split(key)
 
     # Frequency masks: width ~ floor(W*U), start ~ floor((V-width)*U).
+    # When the drawn width exceeds the bin count (freq_mask_width >
+    # num_mel_bins configs), the reference's start is negative and its
+    # tensor slice follows Python slicing: a negative start WRAPS to
+    # v+start (masking only the last |start| bins), and a start below -v
+    # clamps to 0 (masking the whole spectrum).  Reproduce both — a naive
+    # negative start in the broadcast mask would instead always blank
+    # [0, start+width), a different (and usually much larger) region.
     freq_masked = jnp.zeros((b, v), dtype=bool)
     if cfg.freq_mask_num > 0:
         u = jax.random.uniform(k_f, (cfg.freq_mask_num, 2, b))
         for i in range(cfg.freq_mask_num):
             widths = (cfg.freq_mask_width * u[i, 0]).astype(jnp.int32)
             starts = ((v - widths) * u[i, 1]).astype(jnp.int32)
+            starts = jnp.where(
+                starts < 0, jnp.maximum(v + starts, 0), starts
+            )
             freq_masked |= _interval_mask(v, starts, widths)
         feats = jnp.where(
             freq_masked[:, None, :], freq_means[:, :, None], feats

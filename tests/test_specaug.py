@@ -85,3 +85,47 @@ def test_time_mask_wider_than_utterance_is_skipped():
                 out[i, :n], feats[i, :n],
                 err_msg=f"seed {seed} row {i}: oversized mask applied",
             )
+
+
+def test_freq_mask_wider_than_bins_follows_torch_slice_semantics():
+    """freq_mask_width > num bins (e.g. the default width 27 on 23-bin
+    features): the reference's negative start hits Python slice semantics
+    — it wraps to v+start (masking the last |start| bins), or clamps to 0
+    when start <= -v (reference: src/blocks/sp_layers.py:58-64).  Oracle:
+    replay the implementation's exact uniform draws through a torch-style
+    slice in numpy and require the identical mask."""
+    cfg = SpecAugConfig(
+        freq_mask_num=2, freq_mask_width=30,
+        time_mask_num=0, time_mask_width=0,
+    )
+    rng = np.random.RandomState(1)
+    b, t, v = 4, 12, 8
+    feats = rng.randn(b, t, v).astype(np.float32) + 5.0
+    lengths = np.full((b,), t, np.int32)
+    any_wrapped = any_clamped = False
+    for seed in range(16):
+        key = jax.random.PRNGKey(seed)
+        out = np.asarray(
+            spec_aug(key, jnp.asarray(feats), jnp.asarray(lengths), cfg)
+        )
+        # replay the implementation's draw (spec_aug splits key -> k_f)
+        k_f, _ = jax.random.split(key)
+        u = np.asarray(jax.random.uniform(k_f, (cfg.freq_mask_num, 2, b)))
+        expected = feats.copy()
+        freq_means = feats.mean(axis=-1)
+        for i in range(cfg.freq_mask_num):
+            widths = (cfg.freq_mask_width * u[i, 0]).astype(np.int64)
+            starts = ((v - widths) * u[i, 1]).astype(np.int64)
+            for j in range(b):
+                s, w = int(starts[j]), int(widths[j])
+                any_wrapped |= -v < s < 0
+                any_clamped |= s <= -v
+                # torch tensor slicing == python slicing (negative start
+                # wraps; below -v clamps to 0; s+w >= v whenever s < 0)
+                expected[j, :, s : s + w] = freq_means[j][:, None]
+        # rtol: numpy vs XLA mean-reduction rounding on the fill values
+        np.testing.assert_allclose(
+            out, expected, rtol=1e-6, err_msg=f"seed {seed}"
+        )
+    assert any_wrapped, "test never exercised the wrap branch"
+    assert any_clamped, "test never exercised the clamp branch"
