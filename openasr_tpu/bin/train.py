@@ -144,6 +144,10 @@ def main(argv=None):
                         default=False)
     parser.add_argument("--model-parallel", type=int, default=1,
                         help="tensor-parallel degree (mesh model axis)")
+    parser.add_argument("--pipeline", type=int, default=1,
+                        help="pipeline-parallel stage count (mesh pipe "
+                             "axis); requires encoder.pipeline: true "
+                             "(stacked layer layout) in the model config")
     parser.add_argument("--distributed", action="store_true", default=False,
                         help="multi-host: call jax.distributed.initialize() "
                              "(same train-step code; the mesh spans all "
@@ -186,7 +190,15 @@ def main(argv=None):
             "per batch)"
         )
 
-    mesh = make_mesh(model=args.model_parallel)
+    if args.pipeline > 1 and not config.model.get("encoder", {}).get(
+        "pipeline", False
+    ):
+        raise SystemExit(
+            "--pipeline requires the stacked layer layout: set "
+            "encoder.pipeline: true in the model config (and convert "
+            "existing checkpoints with tools/stack_encoder_pkg.py)"
+        )
+    mesh = make_mesh(model=args.model_parallel, pipe=args.pipeline)
     ndata = mesh.shape["data"]
     logging.info("Mesh: %s", dict(mesh.shape))
 

@@ -123,7 +123,8 @@ _KNOWN_KEYS: dict = {
         "grad_max_norm", "label_smooth", "num_last_ckpt_keep",
         "lambda_ctc", "lambda_qua", "lambda_gp", "lr_scheduler",
         "compute_dtype", "adam_mu_dtype", "adam_nu_dtype", "fused_adam",
-        "skip_nonfinite_grads",
+        "skip_nonfinite_grads", "zero1", "sequence_parallel",
+        "pipeline_microbatch",
         "pretrained_model", "load_splayer", "G_path", "maxlen", "multi",
         "tensorboard", "profile",
     },
@@ -150,8 +151,8 @@ _KNOWN_KEYS: dict = {
     "model.encoder": {
         "type", "sub", "input_dim", "d_input", "d_model", "nhead",
         "dim_feedforward", "activation", "num_layers", "n_layers",
-        "dropout_rate", "dropout", "remat", "vocab_size", "conv_dim",
-        "freeze_finetune_updates", "subsample", "context_width",
+        "dropout_rate", "dropout", "remat", "pipeline", "vocab_size",
+        "conv_dim", "freeze_finetune_updates", "subsample", "context_width",
     },
     "model.encoder.sub": {"type", "layer_num"},
     "model.decoder": {

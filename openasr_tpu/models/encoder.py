@@ -26,6 +26,91 @@ from openasr_tpu.models.subsample import (
 Dtype = Any
 
 
+class PipelinedEncoderStack(nn.Module):
+    """Stacked-layout transformer layer stack: parameters live as ONE
+    layer-shaped pytree whose leaves carry a leading [L] dim (param name
+    'stacked_layers'), the layout the GPipe executor
+    (parallel/pipeline.py) and the 'pipe' mesh shardings
+    (parallel/mesh.py:_spec_for) consume.  Under an active pipeline
+    context (a solver on a pipe>1 mesh) the stack streams microbatches
+    through the stages; otherwise — decode, CPU tests, single-chip — an
+    mathematically identical sequential lax.scan runs, so checkpoints
+    trained pipelined decode anywhere.
+
+    `tools/stack_encoder_pkg.py` converts a per-layer checkpoint
+    ('layer{i}' children, the reference-compatible layout) to/from this
+    stacked layout."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    num_layers: int
+    dropout_rate: float = 0.1
+    activation: str = "relu"
+    remat: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        lengths: jnp.ndarray,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        from openasr_tpu.parallel.pipeline import (
+            gpipe_apply,
+            pipeline_context,
+        )
+
+        layer = TransformerEncoderLayer(
+            self.d_model, self.nhead, self.dim_feedforward,
+            self.dropout_rate, self.activation, self.dtype,
+        )
+        dx = jnp.zeros((1,) + x.shape[1:], x.dtype)
+        dl = jnp.ones((1,), jnp.int32)
+
+        def init_stacked(rng):
+            def one(r):
+                return layer.init(r, dx, None, True, dl, False)["params"]
+            return jax.vmap(one)(jax.random.split(rng, self.num_layers))
+
+        stacked = self.param("stacked_layers", init_stacked)
+        need_rng = self.dropout_rate > 0.0 and not deterministic
+        rng = self.make_rng("dropout") if need_rng else None
+
+        def layer_apply(lp, h, aux, rr):
+            rngs = {"dropout": rr} if rr is not None else None
+            return layer.apply(
+                {"params": lp}, h, None, rr is None, aux["lengths"], False,
+                rngs=rngs,
+            )
+
+        ctx = pipeline_context()
+        if ctx is not None:
+            mesh, m_req = ctx
+            b = x.shape[0]
+            # largest microbatch count <= requested that divides the batch
+            m = max(1, min(int(m_req), b))
+            while b % m:
+                m -= 1
+            return gpipe_apply(
+                layer_apply, stacked, x, {"lengths": lengths}, mesh, m,
+                rng=rng, remat=self.remat,
+            )
+
+        # sequential fallback: same math, one layer at a time
+        apply_one = jax.checkpoint(layer_apply) if self.remat else layer_apply
+
+        def body(carry, lp):
+            i, h = carry
+            rr = jax.random.fold_in(rng, i) if rng is not None else None
+            h = apply_one(lp, h, {"lengths": lengths}, rr)
+            return (i + jnp.int32(1), h), None
+
+        (_, h), _ = jax.lax.scan(body, (jnp.int32(0), x), stacked)
+        return h
+
+
 class TransformerEncoder(nn.Module):
     """Conv subsampling -> scaled PE + dropout -> N post-LN layers -> final
     LayerNorm (reference: src/blocks/encoders.py:26-80; the final norm
@@ -43,6 +128,10 @@ class TransformerEncoder(nn.Module):
     context_width: int = 3
     subsample: int = 1
     remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
+    # encoder.pipeline: stacked layer layout (PipelinedEncoderStack) —
+    # GPipe pipeline parallelism when the solver runs on a pipe>1 mesh,
+    # an identical sequential scan otherwise
+    pipeline: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -79,17 +168,24 @@ class TransformerEncoder(nn.Module):
         x = positional_encoding(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
 
-        layer_cls = (
-            nn.remat(TransformerEncoderLayer, static_argnums=(3, 5))
-            if self.remat
-            else TransformerEncoderLayer
-        )
-        for i in range(self.num_layers):
-            x = layer_cls(
+        if self.pipeline:
+            x = PipelinedEncoderStack(
                 self.d_model, self.nhead, self.dim_feedforward,
-                self.dropout_rate, self.activation, self.dtype,
-                name=f"layer{i}",
-            )(x, None, deterministic, lengths, False)
+                self.num_layers, self.dropout_rate, self.activation,
+                self.remat, self.dtype, name="stack",
+            )(x, lengths, deterministic)
+        else:
+            layer_cls = (
+                nn.remat(TransformerEncoderLayer, static_argnums=(3, 5))
+                if self.remat
+                else TransformerEncoderLayer
+            )
+            for i in range(self.num_layers):
+                x = layer_cls(
+                    self.d_model, self.nhead, self.dim_feedforward,
+                    self.dropout_rate, self.activation, self.dtype,
+                    name=f"layer{i}",
+                )(x, None, deterministic, lengths, False)
         x = LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return x, lengths
 
@@ -109,6 +205,7 @@ class TransformerEncoder(nn.Module):
             context_width=int(cfg.get("context_width", 3)),
             subsample=int(cfg.get("subsample", 1)),
             remat=bool(cfg.get("remat", False)),
+            pipeline=bool(cfg.get("pipeline", False)),
             dtype=dtype,
         )
 

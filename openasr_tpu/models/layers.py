@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from openasr_tpu.ops.masks import causal_bias, combine_bias, padding_bias
+from openasr_tpu.parallel.mesh import shard_time
 
 Dtype = Any
 
@@ -312,13 +313,20 @@ class TransformerEncoderLayer(nn.Module):
             self.d_model, self.nhead, self.dropout_rate, self.dtype,
             name="self_attn",
         )(x, x, bias, deterministic, kv_lengths=kv_lengths, causal=causal)
-        x = x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
+        # shard_time: under sequence parallelism the residual add /
+        # dropout / LayerNorm regions hold T/|model| rows per chip
+        # (no-op otherwise — see parallel/mesh.py)
+        x = shard_time(
+            x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
+        )
         x = LayerNorm(dtype=self.dtype, name="norm1")(x)
         ff = FeedForward(
             self.d_model, self.dim_feedforward, self.activation,
             self.dropout_rate, self.dtype, name="ffn",
         )(x, deterministic)
-        x = x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
+        x = shard_time(
+            x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
+        )
         return LayerNorm(dtype=self.dtype, name="norm2")(x)
 
 
@@ -366,13 +374,13 @@ class TransformerDecoderLayer(nn.Module):
         memory_lengths: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         sa = self.self_attn(tgt, tgt, tgt_bias, deterministic, causal=tgt_causal)
-        x = self.norm1(tgt + self._drop(sa, deterministic))
+        x = self.norm1(shard_time(tgt + self._drop(sa, deterministic)))
         ca = self.cross_attn(
             x, memory, memory_bias, deterministic, kv_lengths=memory_lengths
         )
-        x = self.norm2(x + self._drop(ca, deterministic))
+        x = self.norm2(shard_time(x + self._drop(ca, deterministic)))
         ff = self.ffn(x, deterministic)
-        return self.norm3(x + self._drop(ff, deterministic))
+        return self.norm3(shard_time(x + self._drop(ff, deterministic)))
 
     def init_cache(self, batch: int, max_len: int, memory: jnp.ndarray) -> dict:
         """Build this layer's decode cache: growing self-attn K/V plus

@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+PIPE_AXIS = "pipe"
 
 
 def _default_devices():
@@ -42,16 +43,40 @@ def _default_devices():
 
 
 def make_mesh(
-    devices=None, data: Optional[int] = None, model: int = 1
+    devices=None, data: Optional[int] = None, model: int = 1, pipe: int = 1
 ) -> Mesh:
-    """Build a (data, model) mesh over the given devices (default: all
-    devices of the effective default platform)."""
+    """Build a (data, model) mesh — or (pipe, data, model) when pipe > 1 —
+    over the given devices (default: all devices of the effective default
+    platform).  The pipe axis is outermost so pipeline neighbors sit in
+    adjacent mesh rows; it is consumed by the GPipe executor
+    (parallel/pipeline.py), everything else (batch/param shardings) simply
+    replicates across it."""
     devices = list(devices if devices is not None else _default_devices())
     n = len(devices)
     if data is None:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+        assert n % (model * pipe) == 0, (
+            f"{n} devices not divisible by model={model} x pipe={pipe}"
+        )
+        data = n // (model * pipe)
+    assert data * model * pipe == n, (
+        f"mesh {pipe}x{data}x{model} != {n} devices"
+    )
+    if pipe > 1:
+        arr3 = np.array(devices).reshape(pipe, data, model)
+        procs3 = np.array(
+            [[[d.process_index for d in row] for row in sl] for sl in arr3]
+        )
+        if len(set(procs3.flat)) > 1:
+            raise ValueError(
+                "pipeline-parallel meshes are single-host for now: the "
+                "GPipe executor's ppermute ring has no multi-host batch "
+                f"plan; got process layout {procs3.tolist()}"
+            )
+        if n > 1:
+            from openasr_tpu import kernels
+
+            kernels.set_spmd_partitioning(True)
+        return Mesh(arr3, (PIPE_AXIS, DATA_AXIS, MODEL_AXIS))
     arr = np.array(devices).reshape(data, model)
     _validate_multihost_layout(
         np.array([[d.process_index for d in row] for row in arr])
@@ -236,46 +261,114 @@ def _shard_batch_multihost(batch: dict, mesh: Mesh, nproc: int) -> dict:
 
 # ------------------------------------------------------- parameter sharding
 
-def _spec_for(path: tuple, leaf) -> P:
-    """Tensor-parallel partition rules by param-tree path.
+def _tp_entries(names, ndim: int) -> list:
+    """Tensor-parallel axis entries (length ndim, None = replicated) for
+    one leaf identified by its param-tree path names.
 
     Megatron-style: attention head dims and FFN hidden dims shard over
     'model'; embeddings shard over the vocab dim; everything else
     replicates.  XLA/GSPMD inserts the matching collectives.
     """
-    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-    joined = "/".join(str(n) for n in names)
-    ndim = getattr(leaf, "ndim", 0)
-
+    joined = "/".join(names)
+    e: list = [None] * ndim
     if "self_attn" in joined or "cross_attn" in joined:
         if names[-1] == "kernel":
-            if any(n in ("q", "k", "v") for n in names):
+            if any(n in ("q", "k", "v") for n in names) and ndim >= 2:
                 # DenseGeneral [D, H, Dh] -> shard heads
-                return P(*([None] * (ndim - 2)), MODEL_AXIS, None)
-            if "out" in names:
+                e[ndim - 2] = MODEL_AXIS
+            elif "out" in names and ndim >= 1:
                 # DenseGeneral [H, Dh, D] -> shard heads
-                return P(MODEL_AXIS, *([None] * (ndim - 1)))
-        if names[-1] == "bias" and any(n in ("q", "k", "v") for n in names):
-            return P(*([None] * (ndim - 2)), MODEL_AXIS, None) if ndim >= 2 else P(MODEL_AXIS)
+                e[0] = MODEL_AXIS
+        elif names[-1] == "bias" and any(n in ("q", "k", "v") for n in names):
+            if ndim >= 2:
+                e[ndim - 2] = MODEL_AXIS
+            elif ndim == 1:
+                e[0] = MODEL_AXIS
+        return e
     if "ffn" in joined or "linear1" in joined or "linear2" in joined:
-        if "linear1" in names and names[-1] == "kernel":
-            return P(None, MODEL_AXIS)
-        if "linear1" in names and names[-1] == "bias":
-            return P(MODEL_AXIS)
-        if "linear2" in names and names[-1] == "kernel":
-            return P(MODEL_AXIS, None)
+        if "linear1" in names and names[-1] == "kernel" and ndim >= 2:
+            e[1] = MODEL_AXIS
+        elif "linear1" in names and names[-1] == "bias" and ndim >= 1:
+            e[0] = MODEL_AXIS
+        elif "linear2" in names and names[-1] == "kernel" and ndim >= 1:
+            e[0] = MODEL_AXIS
+        return e
     if names[-1] == "embedding" and ndim == 2:
-        return P(MODEL_AXIS, None)
-    return P()
+        e[0] = MODEL_AXIS
+    return e
+
+
+def _spec_for(path: tuple, leaf, tp: bool = True, pipe: bool = False) -> P:
+    """Partition spec for one param leaf: TP rules (`_tp_entries`) on the
+    layer-shaped dims, plus — for leaves living under a stacked layer
+    group (`stacked_layers`, the GPipe layout of parallel/pipeline.py) —
+    the leading [L] dim sharded over 'pipe' so each stage stores only its
+    own layers (the TP rules then apply at their usual positions within
+    each layer, one dim to the right)."""
+    names = [
+        str(getattr(p, "key", getattr(p, "name", str(p)))) for p in path
+    ]
+    ndim = getattr(leaf, "ndim", 0)
+    stacked = "stacked_layers" in names
+    eff = ndim - 1 if stacked else ndim
+    entries = _tp_entries(names, eff) if tp else [None] * eff
+    if stacked:
+        entries = [PIPE_AXIS if pipe else None] + entries
+    return P(*entries)
+
+
+def zero1_sharding(leaf, mesh: Mesh) -> Optional[NamedSharding]:
+    """ZeRO-1 sharding for one optimizer-state leaf: extend the leaf's
+    CURRENT sharding (inherited from the parameter — replicated, or
+    tensor-parallel over 'model') with 'data'-axis sharding on the largest
+    still-unsharded dim whose size divides the data-axis extent.
+
+    Rationale: optimizer moments are pure per-element state — no
+    computation ever mixes moment values across elements — so any
+    partitioning is semantically free.  Sharding them over the data axis
+    cuts the optimizer's HBM footprint and update read/write traffic by
+    1/|data| per chip; GSPMD turns the gradient all-reduce feeding the
+    update into reduce-scatter + (post-update) all-gather of the deltas —
+    the ZeRO-1 / optimizer-state-sharding recipe, expressed purely as a
+    placement.  Replaces nothing in the reference (DataParallel keeps full
+    optimizer state per replica, src/train.py:132-134); this is the scale
+    story the reference never had.
+
+    Returns None when the leaf gains nothing (scalar, no divisible dim,
+    data axis of 1) — callers keep the existing placement.
+    """
+    data = mesh.shape[DATA_AXIS]
+    shape = getattr(leaf, "shape", ())
+    if data <= 1 or not shape:
+        return None
+    cur = getattr(leaf, "sharding", None)
+    spec = (
+        cur.spec if isinstance(cur, NamedSharding) else P()
+    )
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    best, best_size = -1, 0
+    for i, (dim, used) in enumerate(zip(shape, entries)):
+        if used is None and dim % data == 0 and dim > best_size:
+            best, best_size = i, dim
+    if best < 0:
+        return None
+    entries[best] = DATA_AXIS
+    return NamedSharding(mesh, P(*entries))
 
 
 def param_shardings(params, mesh: Mesh):
-    """Pytree of NamedShardings for the param tree (TP over 'model' when the
-    mesh has a model axis > 1, else fully replicated)."""
-    if mesh.shape[MODEL_AXIS] == 1:
+    """Pytree of NamedShardings for the param tree: TP over 'model' when
+    the mesh has a model axis > 1, stacked layer groups over 'pipe' when
+    it has a pipe axis > 1, fully replicated otherwise."""
+    tp = mesh.shape[MODEL_AXIS] > 1
+    pipe = dict(mesh.shape).get(PIPE_AXIS, 1) > 1
+    if not tp and not pipe:
         return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: NamedSharding(mesh, _spec_for(path, leaf)), params
+        lambda path, leaf: NamedSharding(
+            mesh, _spec_for(path, leaf, tp=tp, pipe=pipe)
+        ),
+        params,
     )
 
 
@@ -289,6 +382,78 @@ def device_put_global(x, sharding: NamedSharding):
         return jax.device_put(x, sharding)
     x = np.asarray(x)
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+# -------------------------------------------------- sequence parallelism
+
+_SEQ_MESH: Optional[Mesh] = None
+
+
+def set_sequence_parallel(mesh: Optional[Mesh]) -> None:
+    """Enable (mesh) / disable (None) sequence-parallel activation
+    sharding for code traced AFTER this call (see `shard_time`)."""
+    global _SEQ_MESH
+    _SEQ_MESH = mesh
+
+
+class sequence_parallel:
+    """Context manager scoping `set_sequence_parallel` to one trace —
+    solvers wrap their jitted-step calls with it so each solver's steps
+    bake ITS mesh's constraints regardless of construction order."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _SEQ_MESH
+        self.prev = _SEQ_MESH
+        _SEQ_MESH = self.mesh
+
+    def __exit__(self, *exc):
+        global _SEQ_MESH
+        _SEQ_MESH = self.prev
+
+
+def shard_time(x):
+    """Megatron-style sequence parallelism, expressed as one placement
+    constraint: pin [B, T, ...] activations to T-sharding over the
+    'model' axis in the pointwise-in-T regions of the transformer (the
+    residual adds / dropout / LayerNorm between attention and FFN
+    blocks).  GSPMD then derives the Megatron collective pattern — the
+    TP matmuls' forward all-reduce splits into reduce-scatter (back to
+    T-shards) + all-gather (before the next QKV/FFN1 matmul), same
+    bytes on the wire, while the residual stream, LayerNorms, and
+    dropouts hold and touch only T/|model| rows per chip.  That divides
+    the non-matmul activation footprint by the TP degree — the lever
+    for long-utterance training on top of `encoder.remat`.
+
+    No-op (returns x unchanged) unless a trace runs under
+    `sequence_parallel(mesh)` with a >1 'model' axis and both the batch
+    and time dims divide their axis extents — so single-device code,
+    KV-cached decode steps (T=1), and pure-DP meshes never pay for it.
+    """
+    mesh = _SEQ_MESH
+    if mesh is None or getattr(x, "ndim", 0) < 3:
+        return x
+    tp = mesh.shape[MODEL_AXIS]
+    if (
+        tp <= 1
+        or x.shape[1] % tp != 0
+        or x.shape[0] % mesh.shape[DATA_AXIS] != 0
+    ):
+        return x
+    spec = P(DATA_AXIS, MODEL_AXIS, *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+def reshard(x, sharding: NamedSharding):
+    """Move a committed (possibly cross-host-sharded) array onto a new
+    sharding ON DEVICE.  Plain `jax.device_put` rejects some cross-host
+    transitions and would round-trip through the host for others; an
+    identity jit with `out_shardings` lowers to exactly the collective
+    resharding XLA would emit mid-program.  Init/restore-time only — the
+    fresh lambda retraces per call, so never use this on a hot path."""
+    return jax.jit(lambda a: a, out_shardings=sharding)(x)
 
 
 def shard_params(params, mesh: Mesh):

@@ -34,12 +34,17 @@ from openasr_tpu.ops.fused_adam import fused_clip_adam
 from openasr_tpu.ops.schedules import BobSchedule, get_schedule
 from openasr_tpu.parallel import make_mesh, shard_batch
 from openasr_tpu.parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
     _allgather_host_data,
     device_put_global,
     mesh_process_count,
     mesh_process_index,
     param_shardings,
     replicated,
+    reshard,
+    sequence_parallel,
+    zero1_sharding,
 )
 from openasr_tpu.utils import Timer
 from openasr_tpu.utils.checkpoint import (
@@ -117,13 +122,41 @@ class Solver:
         # writes (jax.process_index() can answer for the wrong backend)
         self.is_host0 = mesh_process_index(self.mesh) == 0
         self.tx = self._make_optimizer(config)
+        # training.zero1 (default on): shard optimizer moments over the
+        # data axis (ZeRO-1) — semantically free (moments are pure
+        # per-element state), cuts optimizer HBM and update traffic by
+        # 1/|data| per chip.  No-op on a 1-wide data axis.
+        self.zero1 = bool(config.get("zero1", True))
+        # training.sequence_parallel (default on): under tensor
+        # parallelism, pin residual-stream activations to T-sharding over
+        # the 'model' axis (parallel/mesh.py:shard_time) — the Megatron
+        # sequence-parallel recipe as pure placement.  The mesh is scoped
+        # per jitted-step call so interleaved solvers on different meshes
+        # each bake their own constraints.
+        self._sp_mesh = (
+            self.mesh
+            if bool(config.get("sequence_parallel", True))
+            and self.mesh.shape[MODEL_AXIS] > 1
+            else None
+        )
+        # GPipe pipeline parallelism: on a pipe>1 mesh, models with a
+        # stacked encoder (encoder.pipeline: true) stream
+        # training.pipeline_microbatch microbatches through the stages
+        # (parallel/pipeline.py).  Scoped per step call like _sp_mesh.
+        pipe_n = dict(self.mesh.shape).get("pipe", 1)
+        self._pipe_ctx = (
+            (self.mesh, int(config.get("pipeline_microbatch", 4 * pipe_n)))
+            if pipe_n > 1
+            else None
+        )
         params = self._place_params(model.params)
         self.model.params = params
         # optimizer moments are zeros_like(params): they inherit the
-        # parameter shardings automatically.  Scalar leaves (step counters)
-        # are committed to a replicated mesh sharding so restore targets
-        # and the donated step agree on placement.
-        self.opt_state = self._place_opt_scalars(self.tx.init(params))
+        # parameter shardings automatically, then (zero1) gain data-axis
+        # sharding on their largest divisible dim.  Scalar leaves (step
+        # counters) are committed to a replicated mesh sharding so restore
+        # targets and the donated step agree on placement.
+        self.opt_state = self._place_opt_state(self.tx.init(params))
 
         os.makedirs(self.exp_dir, exist_ok=True)
         self._train_step = self._build_train_step()
@@ -239,18 +272,65 @@ class Solver:
         shardings = param_shardings(params, self.mesh)
         return jax.tree_util.tree_map(device_put_global, params, shardings)
 
-    def _place_opt_scalars(self, opt_state):
-        """Commit any opt-state leaf that did not inherit a mesh sharding
-        (e.g. step counters created by tx.init) to a replicated sharding."""
+    def _place_opt_state(self, opt_state):
+        """Commit every opt-state leaf to a mesh placement: scalars /
+        unsharded leaves (e.g. step counters created by tx.init) go
+        replicated; with zero1 on a >1-wide data axis, moment-shaped
+        leaves additionally shard over 'data' (composing with whatever
+        tensor-parallel sharding they inherited from the params)."""
         rep = replicated(self.mesh)
+        use_zero1 = self.zero1 and self.mesh.shape[DATA_AXIS] > 1
 
         def place(leaf):
+            if not hasattr(leaf, "ndim"):  # e.g. optax MaskedNode
+                return leaf
+            if use_zero1 and leaf.ndim:
+                z1 = zero1_sharding(leaf, self.mesh)
+                if z1 is not None:
+                    if isinstance(
+                        getattr(leaf, "sharding", None),
+                        jax.sharding.NamedSharding,
+                    ):
+                        # already committed to the mesh (inherited from a
+                        # sharded param): reshard on device — may be
+                        # cross-host, so no host round-trip
+                        return reshard(leaf, z1)
+                    return device_put_global(np.asarray(leaf), z1)
             sh = getattr(leaf, "sharding", None)
             if isinstance(sh, jax.sharding.NamedSharding):
                 return leaf
             return device_put_global(leaf, rep)
 
         return jax.tree_util.tree_map(place, opt_state)
+
+    def _opt_state_constraint(self):
+        """Constrain-to-placement closure for the freshly computed
+        opt_state inside the jitted step.  GSPMD propagation usually
+        keeps the data-sharded moments sharded on its own, but donation
+        REQUIRES input/output placements to agree — make it explicit.
+        Identity when zero1 placement is off (propagation already
+        preserves the pure-TP/replicated layout, as the pre-zero1 tests
+        established)."""
+        if not (self.zero1 and self.mesh.shape[DATA_AXIS] > 1):
+            return lambda os: os
+        # "keep" (a plain leaf, unlike None which pytrees treat as an
+        # empty subtree) marks leaves that never got a mesh placement
+        shardings = jax.tree_util.tree_map(
+            lambda l: getattr(l, "sharding", None) or "keep", self.opt_state
+        )
+
+        def constrain(os):
+            return jax.tree_util.tree_map(
+                lambda l, s: (
+                    jax.lax.with_sharding_constraint(l, s)
+                    if isinstance(s, jax.sharding.NamedSharding)
+                    else l
+                ),
+                os,
+                shardings,
+            )
+
+        return constrain
 
     def current_lr(self) -> float:
         return float(self.init_lr * self.schedule(self.step + 1))
@@ -268,9 +348,28 @@ class Solver:
 
     # ----------------------------------------------------------- train steps
 
+    def _with_sp(self, fn: Callable) -> Callable:
+        """Scope this solver's sequence-parallel mesh AND pipeline
+        context to each call of a jitted step, so the (lazy, first-call)
+        trace bakes the right `shard_time` constraints / GPipe lowering
+        even when solvers on different meshes are constructed
+        interleaved."""
+        if self._sp_mesh is None and self._pipe_ctx is None:
+            return fn
+        from openasr_tpu.parallel.pipeline import pipeline_scope
+
+        def wrapped(*args, **kwargs):
+            with sequence_parallel(self._sp_mesh), pipeline_scope(
+                self._pipe_ctx
+            ):
+                return fn(*args, **kwargs)
+
+        return wrapped
+
     def _build_train_step(self) -> Callable:
         tx = self.tx
         has_bs = self.model.batch_stats is not None
+        constrain_opt = self._opt_state_constraint()
 
         if has_bs:
             @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -288,6 +387,7 @@ class Solver:
                     loss_fn, has_aux=True
                 )(params)
                 updates, opt_state = tx.update(grads, opt_state, params)
+                opt_state = constrain_opt(opt_state)
                 params = optax.apply_updates(params, updates)
                 return params, opt_state, new_bs, loss, losses
 
@@ -298,7 +398,7 @@ class Solver:
                 self.model.batch_stats = new_bs
                 return params, opt_state, loss, losses
 
-            return train_step
+            return self._with_sp(train_step)
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, rng):
@@ -312,10 +412,11 @@ class Solver:
                 loss_fn, has_aux=True
             )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
+            opt_state = constrain_opt(opt_state)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss, losses
 
-        return train_step
+        return self._with_sp(train_step)
 
     def _refresh_jitted_steps(self) -> None:
         """Bob plateau decay mutates the lr closure's decay_rate — a HOST
@@ -338,15 +439,17 @@ class Solver:
                     params, batch, {}, False, batch_stats=batch_stats
                 )
 
-            return lambda params, batch: eval_step_bs(
-                params, self.model.batch_stats, batch
+            return self._with_sp(
+                lambda params, batch: eval_step_bs(
+                    params, self.model.batch_stats, batch
+                )
             )
 
         @jax.jit
         def eval_step(params, batch):
             return self.model_loss(params, batch, {}, False)
 
-        return eval_step
+        return self._with_sp(eval_step)
 
     def _build_accum_steps(self):
         """Two-phase path for accumulate_grad_batch > 1: grads summed over
@@ -397,13 +500,16 @@ class Solver:
                 acc = jax.tree_util.tree_map(jnp.add, acc, grads)
                 return acc, loss, losses
 
+        constrain_opt = self._opt_state_constraint()
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def apply_step(params, opt_state, acc):
             updates, opt_state = tx.update(acc, opt_state, params)
+            opt_state = constrain_opt(opt_state)
             params = optax.apply_updates(params, updates)
             return params, opt_state
 
-        return grad_step, apply_step
+        return self._with_sp(grad_step), apply_step
 
     # One shared accumulate/flush protocol for every epoch loop (base,
     # CIF_MIX dual-loader, GAN): the cursor owns the acc-tree lifecycle,
