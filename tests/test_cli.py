@@ -174,6 +174,56 @@ def test_infer_cli_bf16_matches_f32(workdir):
     assert bf16 == f32
 
 
+def test_train_cli_pipeline(workdir, tmp_path):
+    """`train.py --pipeline 2` end-to-end on the virtual 8-device mesh:
+    arg validation, pipe2 x data4 mesh construction, the stacked encoder
+    layout (encoder.pipeline: true) through the real CLI train loop and
+    checkpoint save — then infer.py decodes the pipelined checkpoint on
+    a single device (the stacked params run the sequential-scan fallback
+    without a pipe mesh, parallel/pipeline.py docstring)."""
+    from openasr_tpu.bin.infer import main as infer_main
+    from openasr_tpu.bin.train import main as train_main
+
+    cfg = yaml.safe_load(open(workdir / "config.yaml"))
+    cfg["model"]["encoder"]["num_layers"] = 2  # divisible by 2 stages
+    cfg["model"]["encoder"]["pipeline"] = True
+    cfg["training"]["exp_dir"] = str(tmp_path / "exp_pipe")
+    cfg["training"]["num_epoch"] = 1
+    cfg["training"]["pipeline_microbatch"] = 2
+    cfg_path = tmp_path / "config_pipe.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    # --pipeline without encoder.pipeline: true must fail loudly
+    bad = dict(cfg, model={**cfg["model"],
+                           "encoder": {**cfg["model"]["encoder"],
+                                       "pipeline": False}})
+    bad_path = tmp_path / "config_bad.yaml"
+    bad_path.write_text(yaml.safe_dump(bad))
+    with pytest.raises(SystemExit):
+        train_main([str(bad_path), "--pipeline", "2"])
+
+    train_main([str(cfg_path), "--pipeline", "2"])
+    pkg_path = tmp_path / "exp_pipe" / "last.pkg"
+    assert os.path.exists(pkg_path)
+
+    hyp_path = str(tmp_path / "hyp_pipe.txt")
+    infer_main([
+        "--model_type", "conv-ctc-transformer",
+        "--model_pkg", str(pkg_path),
+        "--vocab_path", str(workdir / "vocab.txt"),
+        "--json_file", str(workdir / "train.json"),
+        "--output", hyp_path,
+        "--batch_frames", "300",
+        "--nbest", "1",
+        "--maxlen", "8",
+        "--offline",
+        "--add_blk",
+        "--split_token",
+    ])
+    lines = open(hyp_path).read().strip().split("\n")
+    assert len(lines) == 12
+
+
 def test_gen_json_tool(tmp_path):
     (tmp_path / "feats.scp").write_text("u1 /x.ark:0\nu2 /x.ark:9\n")
     (tmp_path / "utt2num_frames").write_text("u1 100\nu2 50\n")
