@@ -273,6 +273,58 @@ def bench_online():
     return med, iqr, [round(s, 1) for s in samples], device_ms
 
 
+def bench_streaming():
+    """Per-tick latency of the streaming executor (streaming.py): flagship
+    dims with the streaming recipe's chunk geometry (chunk=16 encoder
+    frames = 640 ms of audio, left_chunks=4), 8 parallel streams, bf16.
+    Returns (step_ms or None, rtf or None) from the profiler's device lane
+    (host wall-clock over-reports through the relay; same rule as the
+    train-step headline)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.streaming import StreamingRecognizer
+    from openasr_tpu.utils.xprof import collect_device_events, sum_span_us
+
+    cfg = flagship_cfg()
+    cfg["encoder"]["streaming"] = {"chunk": 16, "left_chunks": 4}
+    model = get_model_class(cfg["type"]).create_model(
+        Config(cfg), dtype=jnp.bfloat16
+    )
+    rec = StreamingRecognizer(model)
+    b = 8
+    rng = np.random.RandomState(0)
+    chunk = jnp.asarray(
+        (rng.randn(b, rec.chunk_feats, D) * 0.5).astype(np.float32)
+    )
+    state = rec.init_state(b)
+    state, out = rec.step(state, chunk)  # compile
+    jax.block_until_ready(out["logits"])
+
+    n = 3 if FAST else 10
+    holder = {"state": state}
+
+    def run():
+        o = None
+        for _ in range(n):
+            holder["state"], o = rec.step(holder["state"], chunk)
+        jax.block_until_ready(o["logits"])
+
+    t0 = time.time()
+    events = collect_device_events(run, prefix="openasr_stream_trace_")
+    wall_ms = (time.time() - t0) * 1e3 / n
+    step_ms = None
+    if events is not None:
+        total_us = sum_span_us(events, "jit__step_impl")
+        if total_us > 0:
+            step_ms = total_us / 1e3 / n
+    step_ms = step_ms if step_ms is not None else wall_ms
+    chunk_seconds = rec.chunk_feats / 100.0  # 10 ms feature frames
+    return step_ms, step_ms / 1e3 / chunk_seconds
+
+
 def bench_torch_cpu() -> float:
     import torch
     import torch.nn as nn
@@ -452,6 +504,14 @@ def main():
             detail["beam_decode_rtf_bf16"] = round(
                 bench_decode_rtf(_jnp.bfloat16), 5
             )
+    if (
+        os.environ.get("BENCH_STREAMING", "1") == "1"
+        and within_budget("streaming")
+    ):
+        s_ms, s_rtf = bench_streaming()
+        if s_ms is not None:
+            detail["streaming_step_ms"] = round(s_ms, 2)
+            detail["streaming_rtf"] = round(s_rtf, 5)
     if os.environ.get("BENCH_ONLINE", "1") == "1" and within_budget("online"):
         on_med, _, _, on_device_ms = bench_online()
         detail["online_train_utts_per_sec"] = round(on_med, 1)

@@ -153,8 +153,10 @@ _KNOWN_KEYS: dict = {
         "dim_feedforward", "activation", "num_layers", "n_layers",
         "dropout_rate", "dropout", "remat", "pipeline", "vocab_size",
         "conv_dim", "freeze_finetune_updates", "subsample", "context_width",
+        "streaming",
     },
     "model.encoder.sub": {"type", "layer_num"},
+    "model.encoder.streaming": {"chunk", "left_chunks"},
     "model.decoder": {
         "type", "vocab_size", "d_model", "nhead", "num_layers",
         "encoder_dim", "dim_feedforward", "activation", "dropout_rate",

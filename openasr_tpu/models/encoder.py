@@ -132,6 +132,18 @@ class TransformerEncoder(nn.Module):
     # GPipe pipeline parallelism when the solver runs on a pipe>1 mesh,
     # an identical sequential scan otherwise
     pipeline: bool = False
+    # encoder.streaming: {chunk: N, left_chunks: L} — train (and full-
+    # utterance decode) with the chunk-attention bias (ops/masks.py:
+    # chunk_bias) so the cached streaming executor (streaming.py) is
+    # BIT-EXACT with the batch forward.  chunk is in post-subsample
+    # encoder frames; left_chunks < 0 = unlimited left context.
+    # streaming_phase = the executor's start-up garbage-slot count
+    # (ops/masks.py:chunk_bias): 2 for a wave->fbank frontend, 1 for
+    # offline features — resolved by the model builders from
+    # signal.feature_type (speech.py:streaming_phase_of).
+    streaming_chunk: int = 0
+    streaming_left: int = -1
+    streaming_phase: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -168,6 +180,30 @@ class TransformerEncoder(nn.Module):
         x = positional_encoding(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
 
+        bias = None
+        if self.streaming_chunk > 0:
+            # dense additive bias: chunk mask + key padding.  The dense
+            # path (not the flash kernel) runs here — streaming encoders
+            # subsample x4 first, so T is small and the chunk mask keeps
+            # most of the score matrix masked anyway.
+            from openasr_tpu.ops.masks import (
+                chunk_bias,
+                combine_bias,
+                padding_bias,
+            )
+
+            if self.pipeline:
+                raise NotImplementedError(
+                    "encoder.streaming does not compose with "
+                    "encoder.pipeline: the GPipe stack threads only "
+                    "kv_lengths through its stages"
+                )
+            bias = combine_bias(
+                padding_bias(lengths, x.shape[1]),
+                chunk_bias(x.shape[1], self.streaming_chunk,
+                           self.streaming_left, self.streaming_phase),
+            )
+
         if self.pipeline:
             x = PipelinedEncoderStack(
                 self.d_model, self.nhead, self.dim_feedforward,
@@ -185,13 +221,17 @@ class TransformerEncoder(nn.Module):
                     self.d_model, self.nhead, self.dim_feedforward,
                     self.dropout_rate, self.activation, self.dtype,
                     name=f"layer{i}",
-                )(x, None, deterministic, lengths, False)
+                )(x, bias, deterministic,
+                  None if bias is not None else lengths, False)
         x = LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return x, lengths
 
     @staticmethod
-    def from_config(cfg, dtype=jnp.float32) -> "TransformerEncoder":
+    def from_config(
+        cfg, dtype=jnp.float32, streaming_phase: int = 1
+    ) -> "TransformerEncoder":
         sub = cfg.get("sub") or {}
+        streaming = cfg.get("streaming") or {}
         return TransformerEncoder(
             input_dim=int(cfg["input_dim"]),
             d_model=int(cfg["d_model"]),
@@ -206,6 +246,9 @@ class TransformerEncoder(nn.Module):
             subsample=int(cfg.get("subsample", 1)),
             remat=bool(cfg.get("remat", False)),
             pipeline=bool(cfg.get("pipeline", False)),
+            streaming_chunk=int(streaming.get("chunk", 0)),
+            streaming_left=int(streaming.get("left_chunks", -1)),
+            streaming_phase=streaming_phase,
             dtype=dtype,
         )
 

@@ -291,7 +291,12 @@ class FeedForward(nn.Module):
 
 
 class TransformerEncoderLayer(nn.Module):
-    """Post-LN encoder layer (reference: src/third_party/transformer.py:254-318)."""
+    """Post-LN encoder layer (reference: src/third_party/transformer.py:254-318).
+
+    `chunk_step` is the cached streaming path (streaming.py): attend the
+    current chunk's queries against [cached K/V ++ this chunk's K/V] —
+    with the chunk-attention training bias (ops/masks.py:chunk_bias) the
+    result is bit-identical to the batch `__call__`."""
 
     d_model: int
     nhead: int
@@ -299,6 +304,18 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     activation: str = "relu"
     dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            self.d_model, self.nhead, self.dropout_rate, self.dtype,
+            name="self_attn",
+        )
+        self.ffn = FeedForward(
+            self.d_model, self.dim_feedforward, self.activation,
+            self.dropout_rate, self.dtype, name="ffn",
+        )
+        self.norm1 = LayerNorm(dtype=self.dtype, name="norm1")
+        self.norm2 = LayerNorm(dtype=self.dtype, name="norm2")
 
     @nn.compact
     def __call__(
@@ -309,25 +326,44 @@ class TransformerEncoderLayer(nn.Module):
         kv_lengths: Optional[jnp.ndarray] = None,
         causal: bool = False,
     ) -> jnp.ndarray:
-        attn = MultiHeadAttention(
-            self.d_model, self.nhead, self.dropout_rate, self.dtype,
-            name="self_attn",
-        )(x, x, bias, deterministic, kv_lengths=kv_lengths, causal=causal)
+        attn = self.self_attn(
+            x, x, bias, deterministic, kv_lengths=kv_lengths, causal=causal
+        )
         # shard_time: under sequence parallelism the residual add /
         # dropout / LayerNorm regions hold T/|model| rows per chip
         # (no-op otherwise — see parallel/mesh.py)
         x = shard_time(
             x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
         )
-        x = LayerNorm(dtype=self.dtype, name="norm1")(x)
-        ff = FeedForward(
-            self.d_model, self.dim_feedforward, self.activation,
-            self.dropout_rate, self.dtype, name="ffn",
-        )(x, deterministic)
+        x = self.norm1(x)
+        ff = self.ffn(x, deterministic)
         x = shard_time(
             x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
         )
-        return LayerNorm(dtype=self.dtype, name="norm2")(x)
+        return self.norm2(x)
+
+    def chunk_step(
+        self,
+        x: jnp.ndarray,
+        cache_k: jnp.ndarray,
+        cache_v: jnp.ndarray,
+        key_bias: Optional[jnp.ndarray],
+    ):
+        """One streaming chunk through this layer (deterministic).
+
+        x [B, ch, D] current chunk; cache_k/v [B, L*ch, H, Dh] the K/V of
+        the previous `left_chunks` chunks; key_bias [B, 1, 1, (L+1)*ch]
+        masks invalid cache slots (stream warm-up, final-chunk padding).
+        Returns (out [B, ch, D], k_cur, v_cur [B, ch, H, Dh]) — the caller
+        rolls the cache."""
+        k_cur, v_cur = self.self_attn.project_kv(x)
+        k_all = jnp.concatenate([cache_k, k_cur], axis=1)
+        v_all = jnp.concatenate([cache_v, v_cur], axis=1)
+        sa = self.self_attn.attend_step(x, k_all, v_all, key_bias)
+        x = self.norm1(x + sa)
+        ff = self.ffn(x, deterministic=True)
+        out = self.norm2(x + ff)
+        return out, k_cur, v_cur
 
 
 class TransformerDecoderLayer(nn.Module):

@@ -55,6 +55,14 @@ def splayer_from_config(signal_cfg) -> SPLayer:
     )
 
 
+def streaming_phase_of(signal_cfg) -> int:
+    """Chunk-mask phase for a streaming encoder (ops/masks.py:chunk_bias):
+    2 when the model consumes raw waves through the fbank frontend (the
+    streaming executor's fbank stage adds one x4-feature-slot delay on top
+    of the subsampler's one conv slot), 1 for offline features."""
+    return 2 if (signal_cfg or {}).get("feature_type") == "fbank" else 1
+
+
 def target_lengths_of(paddings: jnp.ndarray) -> jnp.ndarray:
     """sum(1 - paddings) (reference: Speech_Models.py:112)."""
     return jnp.sum(1.0 - paddings, axis=-1).astype(jnp.int32)
@@ -91,7 +99,10 @@ class ConvTransformer(Framework):
     def build_module(cls, configs: Config, dtype=jnp.float32):
         return ConvTransformerModule(
             splayer=splayer_from_config(configs.signal),
-            encoder=TransformerEncoder.from_config(configs.encoder, dtype),
+            encoder=TransformerEncoder.from_config(
+                configs.encoder, dtype,
+                streaming_phase=streaming_phase_of(configs.signal),
+            ),
             decoder=transformer_decoder_from_config(configs.decoder, dtype),
         )
 
@@ -136,6 +147,18 @@ class ConvTransformer(Framework):
         optionally with LSTM-LM shallow fusion (score += lm_weight *
         log p_lm)."""
         encoded, elens = self.encode(params, inputs, lengths)
+        return self.beam_decode_encoded(
+            params, encoded, elens, beam_size=beam_size,
+            max_decode_len=max_decode_len, lm=lm, lm_params=lm_params,
+            lm_weight=lm_weight,
+        )
+
+    def beam_decode_encoded(self, params, encoded, elens, beam_size=5,
+                            max_decode_len=100, lm=None, lm_params=None,
+                            lm_weight=0.0):
+        """Beam search over precomputed encoder states — the final
+        attention pass of the two-pass streaming recipe (streaming.py
+        accumulates `encoded` incrementally, then this rescores)."""
         b = encoded.shape[0]
         enc_bb = beam_expand(encoded, beam_size)
         lens_bb = beam_expand(elens, beam_size)
@@ -196,7 +219,10 @@ class ConvCTC(Framework):
         configs = Config(configs)
         module = ConvCTCModule(
             splayer=splayer_from_config(configs.signal),
-            encoder=TransformerEncoder.from_config(configs.encoder, dtype),
+            encoder=TransformerEncoder.from_config(
+                configs.encoder, dtype,
+                streaming_phase=streaming_phase_of(configs.signal),
+            ),
             vocab_size=int(configs.decoder["vocab_size"]),
         )
         rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -254,7 +280,10 @@ class ConvCTCTransformer(ConvTransformer):
     def build_module(cls, configs: Config, dtype=jnp.float32):
         return ConvCTCTransformerModule(
             splayer=splayer_from_config(configs.signal),
-            encoder=TransformerEncoder.from_config(configs.encoder, dtype),
+            encoder=TransformerEncoder.from_config(
+                configs.encoder, dtype,
+                streaming_phase=streaming_phase_of(configs.signal),
+            ),
             decoder=transformer_decoder_from_config(configs.decoder, dtype),
         )
 

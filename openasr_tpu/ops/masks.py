@@ -47,6 +47,36 @@ def causal_bias(length: int) -> jnp.ndarray:
     return jnp.where(k <= q, 0.0, NEG_INF)[None, None].astype(jnp.float32)
 
 
+def chunk_bias(
+    length: int, chunk: int, left_chunks: int = -1, phase: int = 0
+) -> jnp.ndarray:
+    """[1, 1, T, T] additive chunk-attention bias for streaming-capable
+    encoders: frame t belongs to chunk ``(t + phase) // chunk`` and attends
+    only to frames in chunks ``[c - left_chunks, c]`` (all earlier chunks
+    when ``left_chunks < 0``).  Attention within a chunk is unrestricted.
+
+    ``phase`` aligns training chunk boundaries EXACTLY with the streaming
+    executor's output phase (streaming.py): the cached VALID-conv x4
+    subsampler emits its first true encoder frame `phase` slots late
+    (phase 2 for the wave->fbank frontend — fbank's 2.5-frame lookahead
+    rounds to 4 feature slots, /4 subsample + 1 conv slot; phase 1 for
+    offline features — 1 conv slot), so the first training chunk holds
+    ``chunk - phase`` frames and every later chunk ``chunk``.  Training
+    with the matching phase makes cached streaming inference BIT-EXACT
+    with the batch forward, not an approximation.  No reference
+    counterpart (the reference is batch-only, src/infer.py); this is the
+    U2-style streaming story.
+    """
+    q = lax.broadcasted_iota(jnp.int32, (length, length), 0)
+    k = lax.broadcasted_iota(jnp.int32, (length, length), 1)
+    qc = (q + phase) // chunk
+    kc = (k + phase) // chunk
+    ok = kc <= qc
+    if left_chunks >= 0:
+        ok = ok & (kc >= qc - left_chunks)
+    return jnp.where(ok, 0.0, NEG_INF)[None, None].astype(jnp.float32)
+
+
 def combine_bias(*biases) -> jnp.ndarray:
     """Sum additive biases, clamping so stacked NEG_INFs stay finite."""
     out = None
