@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 from openasr_tpu.config import Config, load_config
-from openasr_tpu.data.collate import FeatureCollate, WaveCollate
+from openasr_tpu.data.collate import FeatureCollate, WaveCollate, quantize
 from openasr_tpu.data.loader import DataLoader
 from openasr_tpu.data.manifest import ArkDataset, SpeechDataset
 from openasr_tpu.data.sampler import CountBatchSampler
@@ -150,6 +150,7 @@ def main(argv=None):
     t0 = time.time()
     for batch in loader:
         inputs, lengths = model.batch_inputs(batch)
+        inputs, lengths = np.asarray(inputs), np.asarray(lengths)
         utts = batch["uttids"]
 
         def on_partial(n, hyps, utts=utts):
@@ -160,13 +161,29 @@ def main(argv=None):
 
         t_first = time.time()
         hyps, enc, enc_lens = rec.decode_waves(
-            np.asarray(inputs), np.asarray(lengths), on_partial=on_partial
+            inputs, lengths, on_partial=on_partial
         )
-        n_chunks = -(-int(np.max(lengths)) // unit)
+        # decode_waves runs ceil(padded_width / unit) device steps — the
+        # collate's shape quantization can pad past max(lengths), so
+        # divide by the step count actually executed
+        n_chunks = -(-inputs.shape[1] // unit)
         if tot_utt > 0:  # first batch pays the jit compile; don't count it
             chunk_times.append((time.time() - t_first) / max(n_chunks, 1))
 
         if rescore_fn is not None:
+            # decode_waves trims enc to the batch's exact max valid length
+            # — pad batch and time up to quantized buckets so the jitted
+            # beam pass compiles a bounded set of shapes instead of one
+            # program per distinct (B, E)
+            b_now, e_now = enc.shape[0], enc.shape[1]
+            bb, eb = args.batch_size, quantize(e_now)
+            if (b_now, e_now) != (bb, eb):
+                enc = np.pad(enc, [(0, bb - b_now), (0, eb - e_now), (0, 0)])
+                # pad rows decode one garbage step each (length 1, not 0:
+                # an all-masked memory would be degenerate) and are sliced
+                # off below
+                enc_lens = np.pad(enc_lens, (0, bb - b_now),
+                                  constant_values=1)
             preds, lens_dec, _ = rescore_fn(model.params, enc, enc_lens)
             preds, lens_dec = np.asarray(preds), np.asarray(lens_dec)
             final = [list(preds[i][0][: int(lens_dec[i][0])])

@@ -31,6 +31,7 @@ from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 
@@ -41,7 +42,26 @@ class FusedClipAdamState(NamedTuple):
     # int32 scalar: steps rejected by skip_nonfinite (0 when disabled).
     # Always present so the state pytree shape doesn't depend on the flag
     # (checkpoint restore maps saved leaves onto a freshly tx.init'd tree).
+    # The None default exists ONLY so checkpoints written before the field
+    # existed still unpickle; `fill_legacy_state` (called by
+    # Solver.restore) zero-fills it before the state reaches update_fn.
     notfinite: jnp.ndarray = None  # type: ignore[assignment]
+
+
+def fill_legacy_state(state):
+    """Zero-fill `notfinite` in FusedClipAdamState nodes restored from
+    checkpoints written before the field existed (their pytrees have one
+    leaf fewer, which would otherwise fail the restore leaf-count match).
+    Recurses through the tuple/list spine optax chain states are made of;
+    leaves are returned untouched."""
+    if isinstance(state, FusedClipAdamState) and state.notfinite is None:
+        state = state._replace(notfinite=np.zeros((), np.int32))
+    if isinstance(state, tuple):
+        vals = [fill_legacy_state(s) for s in state]
+        return type(state)(*vals) if hasattr(state, "_fields") else tuple(vals)
+    if isinstance(state, list):
+        return [fill_legacy_state(s) for s in state]
+    return state
 
 
 def fused_clip_adam(
@@ -137,8 +157,6 @@ def fused_clip_adam(
         new_mu = jax.tree_util.tree_map(lambda _, o: o[1], updates, out)
         new_nu = jax.tree_util.tree_map(lambda _, o: o[2], updates, out)
         notfinite = state.notfinite
-        if notfinite is None:  # states minted before the field existed
-            notfinite = jnp.zeros([], jnp.int32)
         if finite is not None:
             notfinite = notfinite + (1 - finite.astype(jnp.int32))
         return new_updates, FusedClipAdamState(

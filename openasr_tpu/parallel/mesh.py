@@ -446,12 +446,14 @@ def shard_time(x):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
-def reshard(x, sharding: NamedSharding):
-    """Move a committed (possibly cross-host-sharded) array onto a new
-    sharding ON DEVICE.  Plain `jax.device_put` rejects some cross-host
+def reshard(x, sharding):
+    """Move committed (possibly cross-host-sharded) arrays onto new
+    shardings ON DEVICE.  Plain `jax.device_put` rejects some cross-host
     transitions and would round-trip through the host for others; an
     identity jit with `out_shardings` lowers to exactly the collective
-    resharding XLA would emit mid-program.  Init/restore-time only — the
+    resharding XLA would emit mid-program.  `x` may be a pytree with a
+    matching pytree of shardings — pass the WHOLE batch of leaves at once
+    so they move in one compiled program.  Init/restore-time only — the
     fresh lambda retraces per call, so never use this on a hot path."""
     return jax.jit(lambda a: a, out_shardings=sharding)(x)
 

@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from openasr_tpu.models import _to_numpy
-from openasr_tpu.ops.fused_adam import fused_clip_adam
+from openasr_tpu.ops.fused_adam import fill_legacy_state, fused_clip_adam
 from openasr_tpu.ops.schedules import BobSchedule, get_schedule
 from openasr_tpu.parallel import make_mesh, shard_batch
 from openasr_tpu.parallel.mesh import (
@@ -281,9 +281,12 @@ class Solver:
         rep = replicated(self.mesh)
         use_zero1 = self.zero1 and self.mesh.shape[DATA_AXIS] > 1
 
-        def place(leaf):
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        placed = list(leaves)
+        to_reshard: dict = {}  # leaf index -> target sharding
+        for i, leaf in enumerate(leaves):
             if not hasattr(leaf, "ndim"):  # e.g. optax MaskedNode
-                return leaf
+                continue
             if use_zero1 and leaf.ndim:
                 z1 = zero1_sharding(leaf, self.mesh)
                 if z1 is not None:
@@ -293,15 +296,26 @@ class Solver:
                     ):
                         # already committed to the mesh (inherited from a
                         # sharded param): reshard on device — may be
-                        # cross-host, so no host round-trip
-                        return reshard(leaf, z1)
-                    return device_put_global(np.asarray(leaf), z1)
+                        # cross-host, so no host round-trip.  Deferred so
+                        # ALL such leaves move in ONE jitted program (a
+                        # reshard per leaf would compile hundreds of tiny
+                        # executables at solver init).
+                        to_reshard[i] = z1
+                    else:
+                        placed[i] = device_put_global(np.asarray(leaf), z1)
+                    continue
             sh = getattr(leaf, "sharding", None)
             if isinstance(sh, jax.sharding.NamedSharding):
-                return leaf
-            return device_put_global(leaf, rep)
-
-        return jax.tree_util.tree_map(place, opt_state)
+                continue
+            placed[i] = device_put_global(leaf, rep)
+        if to_reshard:
+            idxs = sorted(to_reshard)
+            moved = reshard(
+                [leaves[i] for i in idxs], [to_reshard[i] for i in idxs]
+            )
+            for i, m in zip(idxs, moved):
+                placed[i] = m
+        return jax.tree_util.tree_unflatten(treedef, placed)
 
     def _opt_state_constraint(self):
         """Constrain-to-placement closure for the freshly computed
@@ -941,7 +955,9 @@ class Solver:
             # tensor-parallel restore would then reshard (or OOM) instead
             # of running in place
             target = jax.tree_util.tree_structure(self.opt_state)
-            leaves = jax.tree_util.tree_leaves(pkg["optim_state"])
+            leaves = jax.tree_util.tree_leaves(
+                fill_legacy_state(pkg["optim_state"])
+            )
             cur = jax.tree_util.tree_leaves(self.opt_state)
             assert len(leaves) == len(cur), (
                 f"optimizer state mismatch: checkpoint has {len(leaves)} "

@@ -47,21 +47,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from openasr_tpu.models.layers import TransformerEncoderLayer, _pe_table
-from openasr_tpu.models.subsample import Conv2dSubsample, Conv2dSubsampleV2
+from openasr_tpu.models.subsample import (
+    Conv2dSubsample,
+    Conv2dSubsampleV2,
+    conv_out_len,
+)
 from openasr_tpu.ops.fbank import FbankConfig, fbank, fbank_config_from_model_cfg
 from openasr_tpu.ops.masks import NEG_INF
 
 
 def _enc_frames_of(n, window: int, shift: int, offline: bool):
     """True encoder-frame count for n input units (samples or feature
-    frames): snip-edges framing then two VALID (3,2) conv layers (the
-    reference length rules, models/subsample.py)."""
+    frames): snip-edges framing then two VALID (3,2) conv layers — the
+    same `conv_out_len` rule the batch subsampler applies
+    (models/subsample.py), so the two paths cannot drift."""
     if offline:
         f = n
     else:
         f = jnp.where(n >= window, (n - window) // shift + 1, 0)
-    t1 = jnp.maximum((f - 1) // 2, 0)
-    return jnp.maximum((t1 - 1) // 2, 0)
+    t1 = jnp.maximum(conv_out_len(f, 3, 2), 0)
+    return jnp.maximum(conv_out_len(t1, 3, 2), 0)
 
 
 class StreamingRecognizer:
@@ -80,9 +85,23 @@ class StreamingRecognizer:
     `decode_waves` drives the loop host-side with greedy CTC partials.
     """
 
-    def __init__(self, model, params=None, use_jit: bool = True):
+    def __init__(
+        self,
+        model,
+        params=None,
+        use_jit: bool = True,
+        max_frames: int = 5000,
+    ):
         self.model = model
         self.params = params if params is not None else model.params
+        # Positional-encoding capacity in encoder frames.  The batch
+        # forward slices a 5000-row PE table and fails LOUDLY (trace-time
+        # dynamic_slice error) past it; the streaming gather would clamp
+        # silently instead, so `step` enforces the same bound explicitly.
+        # Raise max_frames for longer-running streams — the sinusoidal
+        # table is a closed form, so extra rows match what a batch forward
+        # with a larger max_len would compute.
+        self.max_frames = int(max_frames)
         cfgs = model.configs
         enc_cfg = cfgs.encoder or {}
         streaming = enc_cfg.get("streaming") or {}
@@ -197,6 +216,22 @@ class StreamingRecognizer:
         if chunk_lens is None:
             full = chunk.shape[1]
             chunk_lens = jnp.full((chunk.shape[0],), full, jnp.int32)
+        # Loud failure at PE capacity (silent clamping would break the
+        # exact-vs-batch contract precisely on long-running streams).
+        # chunk_idx is concrete here unless the caller wrapped step() in
+        # their own jit — then the decode_waves-style upfront check is
+        # the caller's job.
+        try:
+            cur = int(state["chunk_idx"])
+        except (TypeError, jax.errors.ConcretizationTypeError):
+            cur = None
+        if cur is not None and (cur + 1) * self.chunk - self.phase > self.max_frames:
+            raise ValueError(
+                f"stream exceeds positional-encoding capacity: chunk "
+                f"{cur} would emit encoder frames past max_frames="
+                f"{self.max_frames}; construct "
+                f"StreamingRecognizer(model, max_frames=...) larger"
+            )
         return self._step(self.params, state, chunk, jnp.asarray(chunk_lens, jnp.int32))
 
     def _step_impl(self, params, state, chunk, chunk_lens):
@@ -234,7 +269,7 @@ class StreamingRecognizer:
         # to 0; they are masked everywhere downstream)
         base = state["chunk_idx"] * ch
         t_idx = base + jnp.arange(ch, dtype=jnp.int32) - phase  # [ch]
-        pe = jnp.asarray(_pe_table(self.d_model, 5000))
+        pe = jnp.asarray(_pe_table(self.d_model, self.max_frames))
         pos = jnp.clip(t_idx, 0, pe.shape[0] - 1)
         x = x * (self.d_model ** 0.5) + pe[pos].astype(x.dtype)[None]
 
@@ -308,6 +343,13 @@ class StreamingRecognizer:
         unit = self.chunk_samples if not self.offline else self.chunk_feats
         n_total = inputs.shape[1]
         n_chunks = max(1, math.ceil(n_total / unit))
+        if n_chunks * self.chunk - self.phase > self.max_frames:
+            raise ValueError(
+                f"{n_chunks} chunks of {self.chunk} encoder frames exceed "
+                f"positional-encoding capacity max_frames={self.max_frames}"
+                "; construct StreamingRecognizer(model, max_frames=...) "
+                "larger"
+            )
         pad_total = n_chunks * unit - n_total
         if pad_total:
             pad = [(0, 0), (0, pad_total)] + [(0, 0)] * (inputs.ndim - 2)

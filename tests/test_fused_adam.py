@@ -139,3 +139,34 @@ def test_solver_uses_fused_by_default():
         model2, Config(dict(training, fused_adam=False)), [], [], mesh=mesh
     )
     assert not isinstance(solver2.opt_state, FusedClipAdamState)
+
+
+def test_legacy_state_fill_restores_pre_notfinite_checkpoints():
+    """Checkpoints written before FusedClipAdamState.notfinite existed
+    unpickle with notfinite=None (one pytree leaf fewer); fill_legacy_state
+    zero-fills it so Solver.restore's leaf-count match and the update step
+    both work."""
+    from openasr_tpu.ops.fused_adam import FusedClipAdamState, fill_legacy_state
+
+    params = make_tree(0)
+    tx = fused_clip_adam(lr_fn, max_norm=1.0, skip_nonfinite=True)
+    fresh = tx.init(params)
+    legacy = FusedClipAdamState(fresh.count, fresh.mu, fresh.nu)
+    assert legacy.notfinite is None
+    assert (
+        len(jax.tree_util.tree_leaves(legacy))
+        == len(jax.tree_util.tree_leaves(fresh)) - 1
+    )
+    # wrapped in a tuple like an optax chain state: the fill must recurse
+    filled = fill_legacy_state((legacy,))
+    assert len(jax.tree_util.tree_leaves(filled)) == len(
+        jax.tree_util.tree_leaves((fresh,))
+    )
+    assert int(filled[0].notfinite) == 0
+    # the filled state steps (the update path has no None shim anymore)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    _, new_state = tx.update(grads, filled[0], params)
+    assert int(new_state.notfinite) == 0 and int(new_state.count) == 1
+    # a modern state passes through untouched
+    again = fill_legacy_state((fresh,))
+    assert again[0].notfinite is fresh.notfinite

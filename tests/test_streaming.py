@@ -285,3 +285,39 @@ def test_streaming_trains_and_streams_end_to_end(tmp_path):
     out = model.loss(model.params, batch,
                      {"dropout": jax.random.PRNGKey(0)}, train=True)
     assert np.isfinite(float(out["ctc_loss"]))
+
+
+def test_streaming_pe_capacity_is_loud():
+    """The batch forward fails loudly past its PE table; streaming must
+    too — the position gather would otherwise clamp at the last row and
+    silently drift exactly on the long-running streams the executor
+    exists for."""
+    cfg = _speech_cfg({"chunk": 4, "left_chunks": 1}, online=False)
+    model = get_model_class("conv-ctc").create_model(cfg)
+    rec = StreamingRecognizer(model, max_frames=8)  # two 4-frame chunks
+    rng = np.random.RandomState(0)
+    feats = rng.randn(1, 4 * rec.chunk_feats, 20).astype(np.float32)
+    lens = np.array([feats.shape[1]])
+
+    with pytest.raises(ValueError, match="positional-encoding capacity"):
+        rec.decode_waves(feats, lens)
+
+    # step-level guard fires even without the host driver
+    state = rec.init_state(1)
+    piece = feats[:, : rec.chunk_feats]
+    state, _ = rec.step(state, piece)
+    state, _ = rec.step(state, piece)
+    with pytest.raises(ValueError, match="positional-encoding capacity"):
+        rec.step(state, piece)
+
+    # a wider table accepts the same stream and stays exact vs batch
+    rec2 = StreamingRecognizer(model, max_frames=64)
+    _, enc_s, enc_lens_s = rec2.decode_waves(feats, lens)
+    enc_full, elens_full = _full_enc(
+        model, jnp.asarray(feats), jnp.asarray(lens, jnp.int32)
+    )
+    n = int(enc_lens_s[0])
+    assert n == int(np.asarray(elens_full)[0])
+    np.testing.assert_allclose(
+        enc_s[0, :n], np.asarray(enc_full)[0, :n], atol=2e-5, rtol=1e-5
+    )
