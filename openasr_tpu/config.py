@@ -153,10 +153,13 @@ _KNOWN_KEYS: dict = {
         "dim_feedforward", "activation", "num_layers", "n_layers",
         "dropout_rate", "dropout", "remat", "pipeline", "vocab_size",
         "conv_dim", "freeze_finetune_updates", "subsample", "context_width",
-        "streaming",
+        "streaming", "moe",
     },
     "model.encoder.sub": {"type", "layer_num"},
     "model.encoder.streaming": {"chunk", "left_chunks"},
+    "model.encoder.moe": {
+        "num_experts", "top_k", "capacity_factor", "every", "aux_weight",
+    },
     "model.decoder": {
         "type", "vocab_size", "d_model", "nhead", "num_layers",
         "encoder_dim", "dim_feedforward", "activation", "dropout_rate",

@@ -205,6 +205,31 @@ class Framework:
 
     # --------------------------------------------------------------- helpers
 
+    def moe_config(self) -> Optional[dict]:
+        """encoder.moe section when MoE layers are configured, else None
+        (models/moe.py)."""
+        enc = self.configs.to_dict().get("encoder") or {}
+        moe = enc.get("moe") or {}
+        return moe if int(moe.get("num_experts", 0) or 0) > 0 else None
+
+    def apply_with_moe_aux(self, variables, *args, **kwargs):
+        """`module.apply` that also collects the MoE routers' load-balance
+        auxiliary (sown into the 'moe' collection, models/moe.py).
+
+        Returns (outputs, weighted_aux) — weighted_aux is None for models
+        without MoE layers, else encoder.moe.aux_weight (default 0.01)
+        times the mean of the per-layer Switch-style auxiliaries, ready
+        to add to the training objective (Solver.total_loss)."""
+        moe = self.moe_config()
+        if moe is None:
+            return self.module.apply(variables, *args, **kwargs), None
+        out, coll = self.module.apply(
+            variables, *args, mutable=["moe"], **kwargs
+        )
+        leaves = jax.tree_util.tree_leaves(coll.get("moe", {}))
+        aux = sum(leaves) / max(len(leaves), 1)
+        return out, float(moe.get("aux_weight", 0.01)) * aux
+
     def batch_inputs(self, batch: dict):
         """Pick wave or feature inputs per the signal config."""
         if self.configs.signal and self.configs.signal.get("feature_type") == "fbank":

@@ -144,6 +144,15 @@ class TransformerEncoder(nn.Module):
     streaming_chunk: int = 0
     streaming_left: int = -1
     streaming_phase: int = 1
+    # encoder.moe: {num_experts, top_k, capacity_factor, every} — replace
+    # the dense FFN of every `every`-th layer (the later of each pair,
+    # GShard-style, for every=2) with a top-k routed expert mixture
+    # (models/moe.py).  Expert tables shard over the mesh's 'data' axis
+    # — expert parallelism, composable with TP/SP/ZeRO-1 on one mesh.
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity: float = 1.25
+    moe_every: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -179,6 +188,18 @@ class TransformerEncoder(nn.Module):
 
         x = positional_encoding(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+
+        if self.moe_experts > 0 and self.pipeline:
+            raise NotImplementedError(
+                "encoder.moe does not compose with encoder.pipeline: the "
+                "GPipe stack scans over structurally identical layers"
+            )
+        if self.moe_experts > 0 and self.streaming_chunk > 0:
+            raise NotImplementedError(
+                "encoder.moe does not compose with encoder.streaming: "
+                "per-chunk expert capacity would diverge from the batch "
+                "forward, breaking the executor's exactness guarantee"
+            )
 
         bias = None
         if self.streaming_chunk > 0:
@@ -217,9 +238,16 @@ class TransformerEncoder(nn.Module):
                 else TransformerEncoderLayer
             )
             for i in range(self.num_layers):
+                moe_here = (
+                    self.moe_experts > 0
+                    and i % self.moe_every == self.moe_every - 1
+                )
                 x = layer_cls(
                     self.d_model, self.nhead, self.dim_feedforward,
                     self.dropout_rate, self.activation, self.dtype,
+                    moe_experts=self.moe_experts if moe_here else 0,
+                    moe_top_k=self.moe_top_k,
+                    moe_capacity=self.moe_capacity,
                     name=f"layer{i}",
                 )(x, bias, deterministic,
                   None if bias is not None else lengths, False)
@@ -232,6 +260,7 @@ class TransformerEncoder(nn.Module):
     ) -> "TransformerEncoder":
         sub = cfg.get("sub") or {}
         streaming = cfg.get("streaming") or {}
+        moe = cfg.get("moe") or {}
         return TransformerEncoder(
             input_dim=int(cfg["input_dim"]),
             d_model=int(cfg["d_model"]),
@@ -249,6 +278,10 @@ class TransformerEncoder(nn.Module):
             streaming_chunk=int(streaming.get("chunk", 0)),
             streaming_left=int(streaming.get("left_chunks", -1)),
             streaming_phase=streaming_phase,
+            moe_experts=int(moe.get("num_experts", 0)),
+            moe_top_k=int(moe.get("top_k", 2)),
+            moe_capacity=float(moe.get("capacity_factor", 1.25)),
+            moe_every=int(moe.get("every", 2)),
             dtype=dtype,
         )
 

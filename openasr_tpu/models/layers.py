@@ -304,16 +304,31 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.1
     activation: str = "relu"
     dtype: Dtype = jnp.float32
+    # encoder.moe: replace this layer's dense FFN with a top-k routed
+    # mixture of experts (models/moe.py); 0 = dense.  Expert tables shard
+    # over the mesh's 'data' axis (expert parallelism, parallel/mesh.py)
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity: float = 1.25
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
             self.d_model, self.nhead, self.dropout_rate, self.dtype,
             name="self_attn",
         )
-        self.ffn = FeedForward(
-            self.d_model, self.dim_feedforward, self.activation,
-            self.dropout_rate, self.dtype, name="ffn",
-        )
+        if self.moe_experts > 0:
+            from openasr_tpu.models.moe import MoEFeedForward
+
+            self.ffn = MoEFeedForward(
+                self.d_model, self.dim_feedforward, self.moe_experts,
+                self.moe_top_k, self.moe_capacity, self.activation,
+                self.dropout_rate, self.dtype, name="moe_ffn",
+            )
+        else:
+            self.ffn = FeedForward(
+                self.d_model, self.dim_feedforward, self.activation,
+                self.dropout_rate, self.dtype, name="ffn",
+            )
         self.norm1 = LayerNorm(dtype=self.dtype, name="norm1")
         self.norm2 = LayerNorm(dtype=self.dtype, name="norm2")
 
@@ -336,7 +351,15 @@ class TransformerEncoderLayer(nn.Module):
             x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(attn)
         )
         x = self.norm1(x)
-        ff = self.ffn(x, deterministic)
+        if self.moe_experts > 0:
+            pad = (
+                (jnp.arange(x.shape[1])[None, :] < kv_lengths[:, None])
+                if kv_lengths is not None
+                else None
+            )
+            ff = self.ffn(x, deterministic, pad)
+        else:
+            ff = self.ffn(x, deterministic)
         x = shard_time(
             x + nn.Dropout(self.dropout_rate, deterministic=deterministic)(ff)
         )

@@ -1,0 +1,166 @@
+"""Mixture-of-Experts FFN with expert parallelism (beyond-reference).
+
+The reference (eastonYi/OpenASR) has no sparse scaling story at all — its
+largest trainable model is whatever fits one GPU under DataParallel
+(reference: src/train.py:132-134).  This module adds the GShard/Switch
+recipe as a first-class encoder option (`encoder.moe`), designed for the
+TPU from the start:
+
+  * **Dense dispatch on the MXU.**  Routing is expressed as one-hot
+    dispatch/combine tensors [B, T, E, C] and einsums — static shapes,
+    no gather/scatter, no dynamic slicing; the whole layer is four
+    batched matmuls XLA tiles straight onto the systolic array.
+  * **Expert parallelism as placement.**  Expert weight tables [E, ...]
+    shard dim 0 over the mesh's 'data' axis (parallel/mesh.py:_spec_for)
+    and `shard_experts` pins the dispatched activations [E, B, C, D] the
+    same way — GSPMD derives the canonical all-to-all pair (tokens →
+    expert shards → tokens) on ICI.  Each chip stores and runs E/|data|
+    experts; the FFN inner dim additionally shards over 'model' under
+    tensor parallelism, so EP composes with TP/SP/ZeRO-1 on one mesh.
+  * **Static capacity.**  C = ceil(capacity_factor * T * top_k / E) per
+    batch row; overflow tokens pass through on the residual stream (the
+    standard GShard semantics).  Padding tokens never consume capacity
+    when a validity mask is available (the encoder passes one whenever it
+    has `kv_lengths`).
+
+Router math runs in float32 regardless of the compute dtype (softmax over
+expert logits is precision-sensitive); the load-balance auxiliary loss
+(Switch Transformer eq. 4: E * Σ_e fraction_e · prob_e) is sown into the
+'moe' collection and collected by `Framework.apply_with_moe_aux`
+(models/__init__.py) — decode paths never request the collection, so the
+sow is dead code there and XLA removes it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from openasr_tpu.parallel.mesh import shard_experts
+
+Dtype = Any
+XAVIER_UNIFORM = nn.initializers.xavier_uniform()
+
+
+def _capacity(tokens: int, num_experts: int, top_k: int, factor: float) -> int:
+    cap = int(-(-(tokens * top_k * factor) // num_experts))  # ceil
+    return max(cap, 1)
+
+
+class MoEFeedForward(nn.Module):
+    """Top-k routed mixture of position-wise FFN experts.
+
+    Drop-in for `FeedForward` (layers.py) inside a post-LN encoder layer:
+    y[token] = Σ_j gate_j · FFN_{e_j}(x[token]) over the token's top-k
+    experts (gates renormalized over the selected k), 0 for tokens that
+    overflow expert capacity (they survive via the residual add).
+    """
+
+    d_model: int
+    dim_feedforward: int
+    num_experts: int
+    top_k: int = 2
+    capacity_factor: float = 1.25
+    activation: str = "relu"
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        pad_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """x: [B, T, D]; pad_mask: optional [B, T] (1 = valid token)."""
+        B, T, D = x.shape
+        E, K = self.num_experts, min(self.top_k, self.num_experts)
+        C = _capacity(T, E, K, self.capacity_factor)
+
+        # ---- router (float32: softmax over expert logits is the one
+        # numerically delicate spot in the layer)
+        logits = nn.Dense(
+            E, kernel_init=XAVIER_UNIFORM, dtype=jnp.float32, name="router"
+        )(x.astype(jnp.float32))
+        gates = jax.nn.softmax(logits, axis=-1)  # [B, T, E] f32
+        valid = (
+            pad_mask.astype(jnp.float32)
+            if pad_mask is not None
+            else jnp.ones((B, T), jnp.float32)
+        )
+
+        top_g, top_i = jax.lax.top_k(gates, K)  # [B, T, K]
+        top_g = top_g / jnp.maximum(
+            jnp.sum(top_g, axis=-1, keepdims=True), 1e-9
+        )
+
+        # ---- position-in-expert: choice j of each token is placed after
+        # every choice j'<j and after all earlier tokens' choice j (GShard
+        # ordering).  cumsum is over T only — each batch row is its own
+        # routing group, so the dispatch shape stays [B, T, E, C] and the
+        # batch dim stays 'data'-sharded end to end.
+        combine = jnp.zeros((B, T, E, C), jnp.float32)
+        offsets = jnp.zeros((B, E), jnp.float32)
+        for j in range(K):
+            m = jax.nn.one_hot(top_i[..., j], E, dtype=jnp.float32)
+            m = m * valid[..., None]  # padding never consumes capacity
+            pos = jnp.cumsum(m, axis=1) - m + offsets[:, None, :]
+            kept = m * (pos < C)
+            slot = jax.nn.one_hot(
+                jnp.sum(pos * m, axis=-1).astype(jnp.int32), C,
+                dtype=jnp.float32,
+            )  # [B, T, C]: the chosen expert's slot index
+            combine = combine + (
+                top_g[..., j, None, None] * kept[..., None] * slot[:, :, None, :]
+            )
+            offsets = offsets + jnp.sum(m, axis=1)
+
+        dispatch = (combine > 0).astype(self.dtype)  # [B, T, E, C]
+
+        # ---- expert compute: [E, B, C, D] rides the 'data'-sharded
+        # expert tables; shard_experts pins the layout so GSPMD emits the
+        # dispatch/return all-to-alls instead of all-gathering the tokens
+        w1 = self.param(
+            "w1", XAVIER_UNIFORM, (E, D, self.dim_feedforward), jnp.float32
+        ).astype(self.dtype)
+        b1 = self.param(
+            "b1", nn.initializers.zeros, (E, self.dim_feedforward), jnp.float32
+        ).astype(self.dtype)
+        w2 = self.param(
+            "w2", XAVIER_UNIFORM, (E, self.dim_feedforward, D), jnp.float32
+        ).astype(self.dtype)
+        b2 = self.param(
+            "b2", nn.initializers.zeros, (E, D), jnp.float32
+        ).astype(self.dtype)
+
+        xin = shard_experts(
+            jnp.einsum("btec,btd->ebcd", dispatch, x.astype(self.dtype))
+        )
+        h = jnp.einsum("ebcd,edf->ebcf", xin, w1) + b1[:, None, None, :]
+        if self.activation == "relu":
+            h = nn.relu(h)
+        elif self.activation == "gelu":
+            h = nn.gelu(h, approximate=False)
+        else:
+            raise ValueError(
+                f"moe supports relu/gelu activations, got {self.activation!r}"
+            )
+        h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        out = shard_experts(
+            jnp.einsum("ebcf,efd->ebcd", h, w2) + b2[:, None, None, :]
+        )
+        y = jnp.einsum("ebcd,btec->btd", out, combine.astype(self.dtype))
+
+        # ---- load-balance auxiliary (Switch eq. 4), over valid tokens:
+        # E * Σ_e (fraction of tokens whose top-1 is e) · (mean router
+        # prob of e).  Minimized (=1) by a uniform router.
+        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+        me = jnp.sum(gates * valid[..., None], axis=(0, 1)) / n_valid
+        top1 = jax.nn.one_hot(top_i[..., 0], E, dtype=jnp.float32)
+        ce = jnp.sum(top1 * valid[..., None], axis=(0, 1)) / n_valid
+        self.sow("moe", "aux_loss", E * jnp.sum(me * ce))
+
+        return y.astype(x.dtype)

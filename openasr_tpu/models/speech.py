@@ -123,16 +123,19 @@ class ConvTransformer(Framework):
              label_smooth: float = 0.0) -> dict:
         inputs, lengths = self.batch_inputs(batch)
         tlen = target_lengths_of(batch["paddings"])
-        logits = self.module.apply(
+        logits, moe_aux = self.apply_with_moe_aux(
             {"params": params}, inputs, lengths, batch["ids"], tlen,
             deterministic=not train, rngs=rngs if train else None,
         )
         ce = cal_ce_loss(logits, batch["labels"], batch["paddings"], label_smooth)
-        return {
+        out = {
             "ce_loss": ce,
             "n_tokens": jnp.sum(1.0 - batch["paddings"]),
             "n_seqs": jnp.asarray(batch["ids"].shape[0], jnp.float32),
         }
+        if moe_aux is not None:
+            out["moe_aux_loss"] = moe_aux
+        return out
 
     def encode(self, params, inputs, lengths):
         return self.module.apply(
@@ -234,17 +237,20 @@ class ConvCTC(Framework):
 
     def loss(self, params, batch, rngs, train=True, **_):
         inputs, lengths = self.batch_inputs(batch)
-        logits, len_logits = self.module.apply(
+        (logits, len_logits), moe_aux = self.apply_with_moe_aux(
             {"params": params}, inputs, lengths,
             deterministic=not train, rngs=rngs if train else None,
         )
         tlen = target_lengths_of(batch["paddings"])
         ctc = cal_ctc_loss(logits, len_logits, batch["labels"], tlen)
-        return {
+        out = {
             "ctc_loss": ctc,
             "n_tokens": jnp.sum(1.0 - batch["paddings"]),
             "n_seqs": jnp.asarray(batch["ids"].shape[0], jnp.float32),
         }
+        if moe_aux is not None:
+            out["moe_aux_loss"] = moe_aux
+        return out
 
     def get_logits(self, params, inputs, lengths):
         return self.module.apply({"params": params}, inputs, lengths)
@@ -290,7 +296,7 @@ class ConvCTCTransformer(ConvTransformer):
     def loss(self, params, batch, rngs, train=True, label_smooth=0.0):
         inputs, lengths = self.batch_inputs(batch)
         tlen = target_lengths_of(batch["paddings"])
-        ctc_logits, len_ctc, ce_logits = self.module.apply(
+        (ctc_logits, len_ctc, ce_logits), moe_aux = self.apply_with_moe_aux(
             {"params": params}, inputs, lengths, batch["ids"], tlen,
             deterministic=not train, rngs=rngs if train else None,
         )
@@ -298,12 +304,15 @@ class ConvCTCTransformer(ConvTransformer):
         # (reference: Speech_Models.py:269 uses target_lengths - 1)
         ctc = cal_ctc_loss(ctc_logits, len_ctc, batch["labels"], tlen - 1)
         ce = cal_ce_loss(ce_logits, batch["labels"], batch["paddings"], label_smooth)
-        return {
+        out = {
             "ctc_loss": ctc,
             "ce_loss": ce,
             "n_tokens": jnp.sum(1.0 - batch["paddings"]),
             "n_seqs": jnp.asarray(batch["ids"].shape[0], jnp.float32),
         }
+        if moe_aux is not None:
+            out["moe_aux_loss"] = moe_aux
+        return out
 
 
 # ==================================================================== GRU_CTC

@@ -156,7 +156,11 @@ def fused_clip_adam(
         )
         new_mu = jax.tree_util.tree_map(lambda _, o: o[1], updates, out)
         new_nu = jax.tree_util.tree_map(lambda _, o: o[2], updates, out)
+        # a legacy state that bypassed fill_legacy_state (e.g. handed to
+        # update_fn directly) still carries notfinite=None: treat as zero
         notfinite = state.notfinite
+        if notfinite is None:
+            notfinite = jnp.zeros([], jnp.int32)
         if finite is not None:
             notfinite = notfinite + (1 - finite.astype(jnp.int32))
         return new_updates, FusedClipAdamState(

@@ -298,7 +298,35 @@ def _tp_entries(names, ndim: int) -> list:
     return e
 
 
-def _spec_for(path: tuple, leaf, tp: bool = True, pipe: bool = False) -> P:
+def _moe_entries(
+    names, ndim: int, shape, tp: bool, ep_size: int
+) -> Optional[list]:
+    """Expert-parallel axis entries for MoE expert tables (models/moe.py):
+    w1 [E, D, F], b1 [E, F], w2 [E, F, D], b2 [E, D].  The expert dim
+    shards over 'data' (each chip stores E/|data| experts — the GShard
+    placement matching `shard_experts`); under tensor parallelism the FFN
+    inner dim F additionally shards over 'model', exactly like the dense
+    FFN's linear1/linear2.  The router stays replicated (it is tiny and
+    every token needs it).  Returns None for non-MoE leaves."""
+    if "moe_ffn" not in names or names[-1] not in ("w1", "b1", "w2", "b2"):
+        return None
+    e: list = [None] * ndim
+    # shard experts only when E divides the data axis (fewer experts than
+    # chips keeps the tables replicated — dispatch still works, each chip
+    # just holds every expert)
+    if ep_size > 1 and ndim >= 1 and shape and shape[0] % ep_size == 0:
+        e[0] = DATA_AXIS
+    if tp:
+        if names[-1] in ("w1", "b1") and ndim >= 2:
+            e[ndim - 1] = MODEL_AXIS  # ... F]
+        elif names[-1] == "w2" and ndim >= 3:
+            e[1] = MODEL_AXIS  # [E, F, D]
+    return e
+
+
+def _spec_for(
+    path: tuple, leaf, tp: bool = True, pipe: bool = False, ep: int = 0
+) -> P:
     """Partition spec for one param leaf: TP rules (`_tp_entries`) on the
     layer-shaped dims, plus — for leaves living under a stacked layer
     group (`stacked_layers`, the GPipe layout of parallel/pipeline.py) —
@@ -311,9 +339,16 @@ def _spec_for(path: tuple, leaf, tp: bool = True, pipe: bool = False) -> P:
     ndim = getattr(leaf, "ndim", 0)
     stacked = "stacked_layers" in names
     eff = ndim - 1 if stacked else ndim
-    entries = _tp_entries(names, eff) if tp else [None] * eff
+    shape = tuple(getattr(leaf, "shape", ()))
+    entries = _moe_entries(
+        names, eff, shape[1:] if stacked else shape, tp, ep
+    )
+    if entries is None:
+        entries = _tp_entries(names, eff) if tp else [None] * eff
     if stacked:
         entries = [PIPE_AXIS if pipe else None] + entries
+    while entries and entries[-1] is None:
+        entries.pop()  # P(None, None) and P() are equivalent; emit P()
     return P(*entries)
 
 
@@ -346,6 +381,10 @@ def zero1_sharding(leaf, mesh: Mesh) -> Optional[NamedSharding]:
         cur.spec if isinstance(cur, NamedSharding) else P()
     )
     entries = list(spec) + [None] * (len(shape) - len(spec))
+    if DATA_AXIS in entries:
+        # already data-sharded (expert-parallel MoE tables): nothing left
+        # for ZeRO-1 to shard on this axis
+        return None
     best, best_size = -1, 0
     for i, (dim, used) in enumerate(zip(shape, entries)):
         if used is None and dim % data == 0 and dim > best_size:
@@ -359,14 +398,16 @@ def zero1_sharding(leaf, mesh: Mesh) -> Optional[NamedSharding]:
 def param_shardings(params, mesh: Mesh):
     """Pytree of NamedShardings for the param tree: TP over 'model' when
     the mesh has a model axis > 1, stacked layer groups over 'pipe' when
-    it has a pipe axis > 1, fully replicated otherwise."""
+    it has a pipe axis > 1, MoE expert tables over 'data' when it has a
+    data axis > 1 (expert parallelism), fully replicated otherwise."""
     tp = mesh.shape[MODEL_AXIS] > 1
     pipe = dict(mesh.shape).get(PIPE_AXIS, 1) > 1
-    if not tp and not pipe:
+    ep = mesh.shape[DATA_AXIS]  # expert-parallel degree (size, not bool)
+    if not tp and not pipe and ep <= 1:
         return jax.tree_util.tree_map(lambda _: replicated(mesh), params)
     return jax.tree_util.tree_map_with_path(
         lambda path, leaf: NamedSharding(
-            mesh, _spec_for(path, leaf, tp=tp, pipe=pipe)
+            mesh, _spec_for(path, leaf, tp=tp, pipe=pipe, ep=ep)
         ),
         params,
     )
@@ -443,6 +484,61 @@ def shard_time(x):
     ):
         return x
     spec = P(DATA_AXIS, MODEL_AXIS, *([None] * (x.ndim - 2)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+
+# -------------------------------------------------- expert parallelism
+
+_EXPERT_MESH: Optional[Mesh] = None
+
+
+def set_expert_parallel(mesh: Optional[Mesh]) -> None:
+    """Enable (mesh) / disable (None) expert-parallel activation sharding
+    for code traced AFTER this call (see `shard_experts`)."""
+    global _EXPERT_MESH
+    _EXPERT_MESH = mesh
+
+
+class expert_parallel:
+    """Context manager scoping `set_expert_parallel` to one trace —
+    solvers wrap their jitted-step calls with it (alongside
+    `sequence_parallel`) so each solver's steps bake ITS mesh's
+    constraints regardless of construction order."""
+
+    def __init__(self, mesh: Optional[Mesh]):
+        self.mesh = mesh
+
+    def __enter__(self):
+        global _EXPERT_MESH
+        self.prev = _EXPERT_MESH
+        _EXPERT_MESH = self.mesh
+
+    def __exit__(self, *exc):
+        global _EXPERT_MESH
+        _EXPERT_MESH = self.prev
+
+
+def shard_experts(x):
+    """Expert parallelism (GShard), expressed as one placement constraint:
+    pin the dispatched-activation tensors [E, B, C, D] of a MoE layer
+    (models/moe.py) to E-sharding over the 'data' axis — the same axis
+    the expert weight tables [E, ...] shard on (`_spec_for`).  With
+    tokens batch-sharded on 'data' upstream and downstream, GSPMD derives
+    exactly the GShard collective pattern: an all-to-all carrying each
+    chip's tokens to the chips holding their experts, and the mirror
+    all-to-all bringing expert outputs home — both riding ICI.  Each chip
+    stores and computes E/|data| experts.
+
+    No-op unless a trace runs under `expert_parallel(mesh)` with a >1
+    'data' axis that divides E — so single-device runs, decode, and
+    CPU tests never pay for it."""
+    mesh = _EXPERT_MESH
+    if mesh is None or getattr(x, "ndim", 0) < 2:
+        return x
+    data = mesh.shape[DATA_AXIS]
+    if data <= 1 or x.shape[0] % data != 0:
+        return x
+    spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 

@@ -38,6 +38,7 @@ from openasr_tpu.parallel.mesh import (
     MODEL_AXIS,
     _allgather_host_data,
     device_put_global,
+    expert_parallel,
     mesh_process_count,
     mesh_process_index,
     param_shardings,
@@ -148,6 +149,13 @@ class Solver:
             (self.mesh, int(config.get("pipeline_microbatch", 4 * pipe_n)))
             if pipe_n > 1
             else None
+        )
+        # Expert parallelism (models/moe.py): on a data>1 mesh, MoE
+        # dispatch tensors pin to E-sharding over 'data'
+        # (parallel/mesh.py:shard_experts) — a no-op trace scope for
+        # models without MoE layers.
+        self._ep_mesh = (
+            self.mesh if self.mesh.shape[DATA_AXIS] > 1 else None
         )
         params = self._place_params(model.params)
         self.model.params = params
@@ -354,6 +362,16 @@ class Solver:
     def mix_losses(self, losses: Dict) -> jnp.ndarray:
         raise NotImplementedError
 
+    def total_loss(self, losses: Dict) -> jnp.ndarray:
+        """The optimized objective: `mix_losses` plus the MoE routers'
+        weighted load-balance auxiliary — present in the loss dict only
+        for models with MoE layers (models/moe.py, collected by
+        Framework.apply_with_moe_aux)."""
+        total = self.mix_losses(losses)
+        if "moe_aux_loss" in losses:
+            total = total + losses["moe_aux_loss"]
+        return total
+
     def model_loss(self, params, batch, rngs, train, batch_stats=None):
         kwargs = {"label_smooth": self.label_smooth}
         if batch_stats is not None:
@@ -368,14 +386,18 @@ class Solver:
         trace bakes the right `shard_time` constraints / GPipe lowering
         even when solvers on different meshes are constructed
         interleaved."""
-        if self._sp_mesh is None and self._pipe_ctx is None:
+        if (
+            self._sp_mesh is None
+            and self._pipe_ctx is None
+            and self._ep_mesh is None
+        ):
             return fn
         from openasr_tpu.parallel.pipeline import pipeline_scope
 
         def wrapped(*args, **kwargs):
-            with sequence_parallel(self._sp_mesh), pipeline_scope(
-                self._pipe_ctx
-            ):
+            with sequence_parallel(self._sp_mesh), expert_parallel(
+                self._ep_mesh
+            ), pipeline_scope(self._pipe_ctx):
                 return fn(*args, **kwargs)
 
         return wrapped
@@ -395,7 +417,7 @@ class Solver:
                         p, batch, rngs, True, batch_stats=batch_stats
                     )
                     new_bs = losses.pop("batch_stats", batch_stats)
-                    return self.mix_losses(losses), (losses, new_bs)
+                    return self.total_loss(losses), (losses, new_bs)
 
                 (loss, (losses, new_bs)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
@@ -420,7 +442,7 @@ class Solver:
 
             def loss_fn(p):
                 losses = self.model_loss(p, batch, rngs, True)
-                return self.mix_losses(losses), losses
+                return self.total_loss(losses), losses
 
             (loss, losses), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
@@ -485,7 +507,7 @@ class Solver:
                         p, batch, rngs, True, batch_stats=batch_stats
                     )
                     new_bs = losses.pop("batch_stats", batch_stats)
-                    return self.mix_losses(losses), (losses, new_bs)
+                    return self.total_loss(losses), (losses, new_bs)
 
                 (loss, (losses, new_bs)), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
@@ -506,7 +528,7 @@ class Solver:
 
                 def loss_fn(p):
                     losses = self.model_loss(p, batch, rngs, True)
-                    return self.mix_losses(losses), losses
+                    return self.total_loss(losses), losses
 
                 (loss, losses), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
