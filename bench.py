@@ -238,6 +238,51 @@ def bench_cif():
     return med, iqr, [round(s, 1) for s in samples], device_ms
 
 
+def moe_cfg():
+    """Flagship + encoder.moe: every 2nd layer's FFN is a top-2 routed
+    mixture of 8 glu experts (models/moe.py) — the recipe shape of
+    egs/aishell1/configs/conv-ctc-transformer-moe.yaml.  Single chip:
+    measures the dense-dispatch routing overhead (all experts local)."""
+    cfg = flagship_cfg()
+    cfg["encoder"] = dict(
+        cfg["encoder"],
+        moe={"num_experts": 8, "top_k": 2, "capacity_factor": 1.25,
+             "every": 2, "aux_weight": 0.01},
+    )
+    return cfg
+
+
+def bench_moe():
+    n_steps = 3 if FAST else 10
+    n_trials = 2 if FAST else 3
+    samples, device_ms, flops = _train_tput(moe_cfg(), make_batch(),
+                                            n_steps, n_trials)
+    med, iqr = _median_iqr(samples)
+    return med, device_ms, flops
+
+
+def wide_cfg():
+    """Compute-bound envelope shape: d_model 1024 / ffn 4096.  The d512
+    flagship is bandwidth-bound (DESIGN.md §14); this shape shows the
+    MFU the kernel stack reaches where the MXU can actually be fed."""
+    d = 1024
+    cfg = flagship_cfg()
+    cfg["encoder"] = dict(cfg["encoder"], d_model=d, dim_feedforward=4 * d,
+                          nhead=16)
+    cfg["decoder"] = dict(cfg["decoder"], d_model=d, dim_feedforward=4 * d,
+                          nhead=16, encoder_dim=d)
+    return cfg
+
+
+def bench_wide():
+    n_steps = 3 if FAST else 10
+    n_trials = 2 if FAST else 3
+    samples, device_ms, flops = _train_tput(wide_cfg(), make_batch(),
+                                            n_steps, n_trials)
+    med, _ = _median_iqr(samples)
+    return med, device_ms, flops
+
+
 def online_cfg():
     """Flagship with the ONLINE frontend: raw waves -> fused-fbank kernel
     -> SpecAug -> encoder, all inside the jitted train step (the
@@ -512,6 +557,30 @@ def main():
         if s_ms is not None:
             detail["streaming_step_ms"] = round(s_ms, 2)
             detail["streaming_rtf"] = round(s_rtf, 5)
+    if os.environ.get("BENCH_MOE", "1") == "1" and within_budget("moe"):
+        moe_med, moe_device_ms, moe_flops = bench_moe()
+        detail["moe_train_utts_per_sec"] = round(moe_med, 1)
+        if moe_device_ms is not None:
+            detail["moe_device_ms_per_step"] = round(moe_device_ms, 2)
+            detail["moe_device_utts_per_sec"] = round(
+                B / (moe_device_ms / 1e3), 1
+            )
+            if moe_flops is not None:
+                detail["moe_step_tflops"] = round(moe_flops / 1e12, 3)
+    if os.environ.get("BENCH_WIDE", "1") == "1" and within_budget("wide"):
+        _, wide_device_ms, wide_flops = bench_wide()
+        if wide_device_ms is not None:
+            detail["wide_d1024_device_ms_per_step"] = round(wide_device_ms, 2)
+            if wide_flops is not None:
+                wide_tflops_s = wide_flops / (wide_device_ms / 1e3) / 1e12
+                detail["wide_d1024_achieved_tflops_per_sec"] = round(
+                    wide_tflops_s, 1
+                )
+                _, peak = _device_peak_tflops()
+                if peak:
+                    detail["wide_d1024_mfu_pct"] = round(
+                        100.0 * wide_tflops_s / peak, 1
+                    )
     if os.environ.get("BENCH_ONLINE", "1") == "1" and within_budget("online"):
         on_med, _, _, on_device_ms = bench_online()
         detail["online_train_utts_per_sec"] = round(on_med, 1)

@@ -164,6 +164,10 @@ _KNOWN_KEYS: dict = {
         "type", "vocab_size", "d_model", "nhead", "num_layers",
         "encoder_dim", "dim_feedforward", "activation", "dropout_rate",
         "remat",
+        # Embed_Decoder_CTC's 'decoder' section IS an encoder stack
+        # (reference naming, Text_Models.py:117-124) and may carry moe;
+        # validate_moe rejects it for every other model type
+        "moe", "input_dim", "sub",
     },
     "model.assigner": {"type", "d_model", "n_layers", "w_context", "dropout"},
     "model.cpc": {"d_input", "d_coding", "n_layers", "n_steps"},
@@ -175,6 +179,108 @@ _KNOWN_KEYS["model.G.encoder"] = _KNOWN_KEYS["model.encoder"]
 _KNOWN_KEYS["model.G.decoder"] = _KNOWN_KEYS["model.decoder"]
 # the discriminator front is a strided-conv stack, not a transformer
 _KNOWN_KEYS["model.D.encoder"] = {"d_input", "d_model", "layer_num"}
+
+
+def validate_moe(model_cfg: Mapping) -> None:
+    """Semantic checks for `model.encoder.moe` (models/moe.py), raised at
+    config-load time so a bad MoE config fails before any tracing:
+
+      * the model type must collect the router load-balance auxiliary
+        (`Framework.moe_capable` — a type whose loss path drops the sown
+        aux would silently train an unbalanced router, risking expert
+        collapse with no diagnostic);
+      * `every >= 1` (0 would ZeroDivisionError inside the traced layer
+        loop) and `every <= num_layers` (otherwise no layer index
+        satisfies i % every == every - 1 and the model silently has zero
+        MoE layers while the config claims MoE is on);
+      * `top_k >= 1`, `num_experts >= 1`, `capacity_factor > 0`;
+      * the encoder activation must be one MoEFeedForward implements
+        (relu/gelu/glu).
+    """
+    model_cfg = model_cfg or {}
+    sections = (
+        ("encoder", model_cfg.get("encoder")),
+        ("decoder", model_cfg.get("decoder")),
+        ("G.encoder", (model_cfg.get("G") or {}).get("encoder")),
+    )
+    for section, enc in sections:
+        enc = enc if isinstance(enc, Mapping) else {}
+        moe = enc.get("moe") or {}
+        if not moe:
+            continue
+        prefix = f"model.{section}"
+        path = f"{prefix}.moe"
+        num = int(moe.get("num_experts", 0) or 0)
+        if num < 1:
+            raise ValueError(
+                f"config: {path}.num_experts must be >= 1 "
+                f"(got {moe.get('num_experts')!r}); remove the moe "
+                f"section entirely to run a dense FFN"
+            )
+        mtype = model_cfg.get("type")
+        if mtype is not None:
+            from openasr_tpu.models import get_model_class
+
+            cls = get_model_class(str(mtype))
+            capable = (
+                getattr(cls, "moe_capable", False)
+                and getattr(cls, "moe_section", "encoder") == section
+            )
+            if not capable:
+                options = sorted(_moe_capable_types())
+                raise ValueError(
+                    f"config: {path} is not supported for model type "
+                    f"{mtype!r}: this family would never collect the MoE "
+                    f"router's load-balance auxiliary from that section, "
+                    f"so the router would silently train unbalanced "
+                    f"(expert collapse with no error). MoE-capable "
+                    f"(type, section) pairs: {options}"
+                )
+        every = int(moe.get("every", 2) or 0)
+        if every < 1:
+            raise ValueError(
+                f"config: {path}.every must be >= 1 "
+                f"(got {moe.get('every')!r})"
+            )
+        num_layers = enc.get("num_layers")
+        if num_layers is not None and every > int(num_layers):
+            raise ValueError(
+                f"config: {path}.every={every} exceeds "
+                f"{prefix}.num_layers={num_layers}: no layer index i "
+                f"satisfies i % every == every - 1, so the model would "
+                f"have ZERO MoE layers while the config claims MoE is on"
+            )
+        if int(moe.get("top_k", 2) or 0) < 1:
+            raise ValueError(
+                f"config: {path}.top_k must be >= 1 "
+                f"(got {moe.get('top_k')!r})"
+            )
+        if float(moe.get("capacity_factor", 1.25) or 0.0) <= 0.0:
+            raise ValueError(
+                f"config: {path}.capacity_factor must be > 0 "
+                f"(got {moe.get('capacity_factor')!r})"
+            )
+        act = enc.get("activation", "relu")
+        from openasr_tpu.models.moe import MoEFeedForward
+
+        if act not in MoEFeedForward.SUPPORTED_ACTIVATIONS:
+            supported = "/".join(MoEFeedForward.SUPPORTED_ACTIVATIONS)
+            raise ValueError(
+                f"config: {prefix}.activation={act!r} has no MoE expert "
+                f"implementation (MoEFeedForward supports {supported})"
+            )
+
+
+def _moe_capable_types() -> list:
+    """(type, section) pairs whose loss paths collect the MoE aux."""
+    from openasr_tpu.models import MODEL_REGISTRY, get_model_class
+
+    get_model_class("conv-ctc")  # force registry population
+    return [
+        (name, getattr(cls, "moe_section", "encoder"))
+        for name, cls in MODEL_REGISTRY.items()
+        if getattr(cls, "moe_capable", False)
+    ]
 
 
 def validate_config(config: Mapping, required: Sequence[str] = ()) -> list:
@@ -207,6 +313,7 @@ def validate_config(config: Mapping, required: Sequence[str] = ()) -> list:
                 walk(v, full)
 
     walk(config, "")
+    validate_moe(config.get("model") or {})
 
     for path in required:
         node: Any = config

@@ -130,6 +130,16 @@ class Framework:
     """Base: owns module + variables + configs."""
 
     model_type: str = "base"
+    # True for families whose loss() collects the MoE routers'
+    # load-balance auxiliary via apply_with_moe_aux (models/moe.py).
+    # Families that leave this False reject a `moe:` section at
+    # construction — a router whose balance loss is silently dropped
+    # trains toward expert collapse with no diagnostic.  `moe_section`
+    # names the config section the family's TransformerEncoder is built
+    # from ("decoder" for Embed_Decoder_CTC, whose stack reuses the
+    # reference's 'decoder' naming, Text_Models.py:117-124).
+    moe_capable: bool = False
+    moe_section: str = "encoder"
 
     def __init__(
         self,
@@ -142,6 +152,22 @@ class Framework:
         self.params = params
         self.configs = configs if isinstance(configs, Config) else Config(configs)
         self.batch_stats = batch_stats
+        expected = type(self).moe_section if type(self).moe_capable else None
+        stray = [s for s in self._moe_sections_present() if s != expected]
+        if stray:
+            raise ValueError(
+                f"moe is not supported in config section(s) {stray} for "
+                f"model type {self.model_type!r}: "
+                + (
+                    f"this family reads its MoE config from "
+                    f"{expected!r} only."
+                    if expected
+                    else "its loss path does not collect the MoE "
+                    "router's load-balance auxiliary (the router would "
+                    "silently train unbalanced). Remove the moe section "
+                    "or use an MoE-capable model type."
+                )
+            )
 
     # ------------------------------------------------------------ variables
 
@@ -205,11 +231,31 @@ class Framework:
 
     # --------------------------------------------------------------- helpers
 
+    def _moe_sections_present(self) -> list:
+        """Config sections carrying a configured moe block — scanned in
+        full (encoder, decoder, G.encoder) so the construction guard
+        fires on a moe section the family would otherwise silently
+        ignore (e.g. `decoder.moe` on conv-ctc-transformer, whose
+        decoder builder never reads it)."""
+        cfg = self.configs.to_dict()
+        found = []
+        for name, sub in (
+            ("encoder", cfg.get("encoder")),
+            ("decoder", cfg.get("decoder")),
+            ("G.encoder", (cfg.get("G") or {}).get("encoder")),
+        ):
+            moe = ((sub or {}) if isinstance(sub, dict) else {}).get("moe") or {}
+            if int(moe.get("num_experts", 0) or 0) > 0:
+                found.append(name)
+        return found
+
     def moe_config(self) -> Optional[dict]:
-        """encoder.moe section when MoE layers are configured, else None
-        (models/moe.py)."""
-        enc = self.configs.to_dict().get("encoder") or {}
-        moe = enc.get("moe") or {}
+        """The family's moe section when MoE layers are configured, else
+        None (models/moe.py).  Read from `moe_section` — the config
+        section this family builds its TransformerEncoder from."""
+        cfg = self.configs.to_dict()
+        enc = cfg.get(type(self).moe_section) or {}
+        moe = (enc.get("moe") or {}) if isinstance(enc, dict) else {}
         return moe if int(moe.get("num_experts", 0) or 0) > 0 else None
 
     def apply_with_moe_aux(self, variables, *args, **kwargs):

@@ -136,6 +136,7 @@ class CIF(Framework):
     """qua + ce losses (reference: Speech_Models.py:332-540)."""
 
     use_ctc = False
+    moe_capable = True
 
     @classmethod
     def build_module(cls, configs, dtype=jnp.float32):
@@ -164,7 +165,7 @@ class CIF(Framework):
     def loss(self, params, batch, rngs, train=True, label_smooth=0.0):
         inputs, lengths = self.batch_inputs(batch)
         tlen = target_lengths_of(batch["paddings"])
-        out = self.module.apply(
+        out, moe_aux = self.apply_with_moe_aux(
             {"params": params}, inputs, lengths, tlen, ids=batch["ids"],
             deterministic=not train, rngs=rngs if train else None,
         )
@@ -180,6 +181,8 @@ class CIF(Framework):
             losses["ctc_loss"] = cal_ctc_loss(
                 out["ctc_logits"], out["ctc_lengths"], batch["labels"], tlen
             )
+        if moe_aux is not None:
+            losses["moe_aux_loss"] = moe_aux
         return losses
 
     def get_encoded(self, params, inputs, lengths, capacity: int):
@@ -255,6 +258,8 @@ class CIFFC(Framework):
     from phone_lengths (the reference used `phone.eq(0)`, a bug since its
     phones padded with id 1)."""
 
+    moe_capable = True
+
     @classmethod
     def create_model(cls, configs, rng=None, dtype=jnp.float32):
         configs = Config(configs)
@@ -282,11 +287,11 @@ class CIFFC(Framework):
         phone_paddings = 1.0 - sequence_mask(
             plen, phones.shape[1], dtype=jnp.float32
         )
-        out = self.module.apply(
+        out, moe_aux = self.apply_with_moe_aux(
             {"params": params}, inputs, lengths, plen, ids=phones,
             deterministic=not train, rngs=rngs if train else None,
         )
-        return {
+        losses = {
             "ctc_loss": cal_ctc_loss(
                 out["ctc_logits"], out["ctc_lengths"], phones, plen
             ),
@@ -297,6 +302,9 @@ class CIFFC(Framework):
             "n_tokens": jnp.sum(1.0 - phone_paddings),
             "n_seqs": jnp.asarray(phones.shape[0], jnp.float32),
         }
+        if moe_aux is not None:
+            losses["moe_aux_loss"] = moe_aux
+        return losses
 
     def greedy_phone_decode(self, params, inputs, lengths, max_decode_len=100):
         cif_out, cif_lens = self.module.apply(
@@ -359,7 +367,7 @@ class CIFMIX(CIFFC):
                 "char_ids": batch["ids"],
                 "char_lengths": target_lengths_of(batch["paddings"]),
             }
-        out = self.module.apply(
+        out, moe_aux = self.apply_with_moe_aux(
             {"params": params}, inputs, lengths, plen, ids=phones,
             deterministic=not train, rngs=rngs if train else None, **kwargs,
         )
@@ -374,6 +382,8 @@ class CIFMIX(CIFFC):
             "n_tokens": jnp.sum(1.0 - phone_paddings),
             "n_seqs": jnp.asarray(phones.shape[0], jnp.float32),
         }
+        if moe_aux is not None:
+            losses["moe_aux_loss"] = moe_aux
         if paired:
             losses["ce_char_loss"] = cal_ce_loss(
                 out["char_logits"], batch["labels"], batch["paddings"],

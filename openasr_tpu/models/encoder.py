@@ -261,6 +261,21 @@ class TransformerEncoder(nn.Module):
         sub = cfg.get("sub") or {}
         streaming = cfg.get("streaming") or {}
         moe = cfg.get("moe") or {}
+        if moe:
+            # config.validate_moe rejects these at load time with richer
+            # messages; this guard covers programmatic construction
+            # (every=0 would ZeroDivisionError inside the traced layer
+            # loop; every>num_layers silently builds zero MoE layers)
+            every = int(moe.get("every", 2))
+            if every < 1 or int(moe.get("top_k", 2)) < 1:
+                raise ValueError(f"invalid encoder.moe config: {moe}")
+            if int(moe.get("num_experts", 0)) > 0 and every > int(
+                cfg["num_layers"]
+            ):
+                raise ValueError(
+                    f"encoder.moe.every={every} > num_layers="
+                    f"{cfg['num_layers']}: zero MoE layers would be built"
+                )
         return TransformerEncoder(
             input_dim=int(cfg["input_dim"]),
             d_model=int(cfg["d_model"]),

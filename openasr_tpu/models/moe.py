@@ -21,7 +21,11 @@ TPU from the start:
     batch row; overflow tokens pass through on the residual stream (the
     standard GShard semantics).  Padding tokens never consume capacity
     when a validity mask is available (the encoder passes one whenever it
-    has `kv_lengths`).
+    has `kv_lengths`).  Memory note: the dispatch/combine tensors are
+    [B, T, E, C] with C ∝ T, i.e. O(B·T²·top_k·capacity_factor) floats
+    per MoE layer — comparable to one attention-score matrix, and paid
+    even under remat.  Cheap at post-x4-subsample T; for much longer
+    sequences lower capacity_factor or group tokens GShard-style.
 
 Router math runs in float32 regardless of the compute dtype (softmax over
 expert logits is precision-sensitive); the load-balance auxiliary loss
@@ -67,6 +71,8 @@ class MoEFeedForward(nn.Module):
     activation: str = "relu"
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+
+    SUPPORTED_ACTIVATIONS = ("relu", "gelu", "glu")
 
     @nn.compact
     def __call__(
@@ -122,7 +128,17 @@ class MoEFeedForward(nn.Module):
 
         # ---- expert compute: [E, B, C, D] rides the 'data'-sharded
         # expert tables; shard_experts pins the layout so GSPMD emits the
-        # dispatch/return all-to-alls instead of all-gathering the tokens
+        # dispatch/return all-to-alls instead of all-gathering the tokens.
+        # glu mirrors the dense FeedForward (layers.py:268-283, reference
+        # semantics src/third_party/transformer.py:279-281,400-408): a
+        # second per-expert gate table w_gate/b_gate the same shape as
+        # w1/b1, h = (x·w1+b1) * sigmoid(x·w_gate+b_gate) — per-expert
+        # slicing of the dense layer's width-2F linear1 split.
+        if self.activation not in self.SUPPORTED_ACTIVATIONS:
+            raise ValueError(
+                f"moe supports {'/'.join(self.SUPPORTED_ACTIVATIONS)} "
+                f"activations, got {self.activation!r}"
+            )
         w1 = self.param(
             "w1", XAVIER_UNIFORM, (E, D, self.dim_feedforward), jnp.float32
         ).astype(self.dtype)
@@ -137,17 +153,28 @@ class MoEFeedForward(nn.Module):
         ).astype(self.dtype)
 
         xin = shard_experts(
-            jnp.einsum("btec,btd->ebcd", dispatch, x.astype(self.dtype))
+            jnp.einsum("btec,btd->ebcd", dispatch, x.astype(self.dtype)),
+            from_tokens=True,
         )
         h = jnp.einsum("ebcd,edf->ebcf", xin, w1) + b1[:, None, None, :]
         if self.activation == "relu":
             h = nn.relu(h)
         elif self.activation == "gelu":
             h = nn.gelu(h, approximate=False)
-        else:
-            raise ValueError(
-                f"moe supports relu/gelu activations, got {self.activation!r}"
+        elif self.activation == "glu":
+            w_gate = self.param(
+                "w_gate", XAVIER_UNIFORM,
+                (E, D, self.dim_feedforward), jnp.float32,
+            ).astype(self.dtype)
+            b_gate = self.param(
+                "b_gate", nn.initializers.zeros,
+                (E, self.dim_feedforward), jnp.float32,
+            ).astype(self.dtype)
+            g = (
+                jnp.einsum("ebcd,edf->ebcf", xin, w_gate)
+                + b_gate[:, None, None, :]
             )
+            h = h * nn.sigmoid(g)
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
         out = shard_experts(
             jnp.einsum("ebcf,efd->ebcd", h, w2) + b2[:, None, None, :]

@@ -95,6 +95,8 @@ class ConvTransformerModule(nn.Module):
 
 @register_model("conv-transformer")
 class ConvTransformer(Framework):
+    moe_capable = True
+
     @classmethod
     def build_module(cls, configs: Config, dtype=jnp.float32):
         return ConvTransformerModule(
@@ -217,6 +219,8 @@ class ConvCTCModule(nn.Module):
 
 @register_model("conv-ctc")
 class ConvCTC(Framework):
+    moe_capable = True
+
     @classmethod
     def create_model(cls, configs, rng=None, dtype=jnp.float32):
         configs = Config(configs)

@@ -145,6 +145,11 @@ class EmbedDecoderCTCModule(nn.Module):
 
 @register_model("Embed_Decoder_CTC")
 class EmbedDecoderCTC(Framework):
+    # the transformer stack is configured by the 'decoder' section
+    # (reference naming, Text_Models.py:117-124) — moe lives there too
+    moe_capable = True
+    moe_section = "decoder"
+
     @classmethod
     def build_module(cls, configs, dtype=jnp.float32):
         # the reference calls this component 'decoder' in configs although
@@ -177,15 +182,18 @@ class EmbedDecoderCTC(Framework):
 
     def loss(self, params, batch, rngs, train=True, **_):
         tlen = target_lengths_of(batch["paddings"])
-        logits, len_logits = self.module.apply(
+        (logits, len_logits), moe_aux = self.apply_with_moe_aux(
             {"params": params}, batch["phones"], batch["phone_lengths"],
             deterministic=not train, rngs=rngs if train else None,
         )
-        return {
+        losses = {
             "ctc_loss": cal_ctc_loss(logits, len_logits, batch["labels"], tlen),
             "n_tokens": jnp.sum(1.0 - batch["paddings"]),
             "n_seqs": jnp.asarray(batch["phones"].shape[0], jnp.float32),
         }
+        if moe_aux is not None:
+            losses["moe_aux_loss"] = moe_aux
+        return losses
 
     def get_logits(self, params, phones, phone_lengths):
         return self.module.apply({"params": params}, phones, phone_lengths)

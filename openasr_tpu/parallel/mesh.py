@@ -302,22 +302,27 @@ def _moe_entries(
     names, ndim: int, shape, tp: bool, ep_size: int
 ) -> Optional[list]:
     """Expert-parallel axis entries for MoE expert tables (models/moe.py):
-    w1 [E, D, F], b1 [E, F], w2 [E, F, D], b2 [E, D].  The expert dim
-    shards over 'data' (each chip stores E/|data| experts — the GShard
-    placement matching `shard_experts`); under tensor parallelism the FFN
-    inner dim F additionally shards over 'model', exactly like the dense
-    FFN's linear1/linear2.  The router stays replicated (it is tiny and
-    every token needs it).  Returns None for non-MoE leaves."""
-    if "moe_ffn" not in names or names[-1] not in ("w1", "b1", "w2", "b2"):
+    w1/w_gate [E, D, F], b1/b_gate [E, F], w2 [E, F, D], b2 [E, D].  The
+    expert dim shards over 'data' (each chip stores E/|data| experts — the
+    GShard placement matching `shard_experts`); under tensor parallelism
+    the FFN inner dim F additionally shards over 'model', exactly like the
+    dense FFN's linear1/linear2 (w_gate/b_gate are glu's per-expert slice
+    of linear1's second half, so they shard like w1/b1).  The router stays
+    replicated (it is tiny and every token needs it).  Returns None for
+    non-MoE leaves."""
+    tables = ("w1", "b1", "w2", "b2", "w_gate", "b_gate")
+    if "moe_ffn" not in names or names[-1] not in tables:
         return None
     e: list = [None] * ndim
     # shard experts only when E divides the data axis (fewer experts than
     # chips keeps the tables replicated — dispatch still works, each chip
-    # just holds every expert)
+    # just holds every expert).  A mismatch (E % data != 0) is loud at
+    # config load (config.validate_config) and at solver init
+    # (solvers/__init__.py) — here we only pick the layout.
     if ep_size > 1 and ndim >= 1 and shape and shape[0] % ep_size == 0:
         e[0] = DATA_AXIS
     if tp:
-        if names[-1] in ("w1", "b1") and ndim >= 2:
+        if names[-1] in ("w1", "b1", "w_gate", "b_gate") and ndim >= 2:
             e[ndim - 1] = MODEL_AXIS  # ... F]
         elif names[-1] == "w2" and ndim >= 3:
             e[1] = MODEL_AXIS  # [E, F, D]
@@ -518,8 +523,8 @@ class expert_parallel:
         _EXPERT_MESH = self.prev
 
 
-def shard_experts(x):
-    """Expert parallelism (GShard), expressed as one placement constraint:
+def shard_experts(x, from_tokens: bool = False):
+    """Expert parallelism (GShard), expressed as placement constraints:
     pin the dispatched-activation tensors [E, B, C, D] of a MoE layer
     (models/moe.py) to E-sharding over the 'data' axis — the same axis
     the expert weight tables [E, ...] shard on (`_spec_for`).  With
@@ -528,6 +533,15 @@ def shard_experts(x):
     chip's tokens to the chips holding their experts, and the mirror
     all-to-all bringing expert outputs home — both riding ICI.  Each chip
     stores and computes E/|data| experts.
+
+    `from_tokens=True` marks the tensor as freshly produced FROM
+    batch-sharded token tensors (the dispatch einsum's output): it is
+    first pinned B-sharded (dim 1) — making the einsum local per chip —
+    and then E-sharded, so the reshard between the two pins is forced to
+    lower as the dispatch all-to-all.  Without the staged pin GSPMD's
+    cost model may instead replicate the (tiny-in-tests) token operands
+    via all-gathers, defeating the point of EP
+    (tests/test_moe.py:test_ep_dispatch_all_to_all_no_table_gather).
 
     No-op unless a trace runs under `expert_parallel(mesh)` with a >1
     'data' axis that divides E — so single-device runs, decode, and
@@ -538,6 +552,9 @@ def shard_experts(x):
     data = mesh.shape[DATA_AXIS]
     if data <= 1 or x.shape[0] % data != 0:
         return x
+    if from_tokens and x.shape[1] % data == 0:
+        bspec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, bspec))
     spec = P(DATA_AXIS, *([None] * (x.ndim - 1)))
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 

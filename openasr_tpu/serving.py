@@ -179,3 +179,169 @@ class ExportedDecoder:
         plens[:b] = lens
         out = self._fns[(bb, bt)].call(params, padded, plens)
         return tuple(np.asarray(o)[:b] for o in out)
+
+
+# ------------------------------------------------- streaming step export
+
+def _tree_spec_meta(tree):
+    """Serializable {path: {shape, dtype}} of a (nested-dict) pytree —
+    enough to rebuild a zeroed state host-side with no model code."""
+    flat = {}
+
+    def walk(node, prefix):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else str(k))
+        else:
+            arr = np.asarray(node)
+            flat[prefix] = {"shape": list(arr.shape),
+                            "dtype": str(arr.dtype)}
+
+    walk(tree, "")
+    return flat
+
+
+def _tree_from_spec_meta(flat):
+    out: dict = {}
+    for path, spec in flat.items():
+        node = out
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.zeros(spec["shape"], np.dtype(spec["dtype"]))
+    return out
+
+
+def export_streaming_step(
+    model,
+    batch_sizes: Sequence[int],
+    path: str,
+    platforms: Sequence[str] = ("tpu", "cpu"),
+    max_frames: int = 5000,
+) -> None:
+    """AOT-export the streaming executor's jitted tick (streaming.py
+    `_step_impl`) — the latency-critical serving path — one program per
+    stream batch size.
+
+    The artifact records the state pytree's shapes/dtypes per batch size,
+    so a serving process rebuilds the zero state and drives the loop
+    with no model code: load, init_state(b), feed chunks.  Params stay
+    an input (weight-independent artifact, like export_beam_decode).
+    Exactness carries over: the exported program IS the executor's
+    step, which is exact against the batch forward (tests/test_streaming
+    .py); the round-trip test pins exported == live per tick."""
+    from openasr_tpu.streaming import StreamingRecognizer
+
+    rec = StreamingRecognizer(model, use_jit=False, max_frames=max_frames)
+    params = model.params
+    params_spec = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+        params,
+    )
+
+    exports = {}
+    state_meta = {}
+    for b in batch_sizes:
+        b = int(b)
+        state = rec.init_state(b)
+        state_spec = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            state,
+        )
+        if rec.offline:
+            chunk_shape = (b, 4 * rec.chunk, rec.feat_dim)
+        else:
+            chunk_shape = (b, rec.chunk_samples)
+        exp = jax_export.export(
+            jax.jit(rec._step_impl), platforms=tuple(platforms)
+        )(
+            params_spec,
+            state_spec,
+            jax.ShapeDtypeStruct(chunk_shape, jnp.float32),
+            jax.ShapeDtypeStruct((b,), jnp.int32),
+        )
+        exports[b] = exp.serialize()
+        state_meta[str(b)] = _tree_spec_meta(
+            jax.tree_util.tree_map(np.asarray, state)
+        )
+
+    meta = {
+        "kind": "streaming_step",
+        "model_type": getattr(model, "model_type", ""),
+        "chunk": rec.chunk,
+        "left_chunks": rec.left,
+        "offline": bool(rec.offline),
+        "feat_dim": int(rec.feat_dim),
+        "chunk_input": (
+            [4 * rec.chunk, rec.feat_dim] if rec.offline
+            else [rec.chunk_samples]
+        ),
+        "max_frames": int(max_frames),
+        "platforms": list(platforms),
+        "batch_sizes": [int(b) for b in batch_sizes],
+        "state": state_meta,
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=1))
+        for b, data in exports.items():
+            zf.writestr(f"exports/b{b}.stablehlo", data)
+
+
+class ExportedStreamer:
+    """Serving-side streaming loop over an `export_streaming_step`
+    artifact: `init_state(b)` rebuilds the zero state from recorded
+    shapes, `step(params, state, chunk[, chunk_lens])` runs the AOT tick.
+    The stream's batch size is fixed at init (pick a bucket ≥ your
+    stream count and zero-pad rows — padded rows are ordinary silent
+    streams)."""
+
+    def __init__(self, path: str):
+        with zipfile.ZipFile(path, "r") as zf:
+            self.meta = json.loads(zf.read("meta.json"))
+            if self.meta.get("kind") != "streaming_step":
+                raise ValueError(
+                    f"{path} is not a streaming-step artifact "
+                    f"(kind={self.meta.get('kind')!r})"
+                )
+            self._fns = {
+                int(b): jax_export.deserialize(
+                    zf.read(f"exports/b{b}.stablehlo")
+                )
+                for b in self.meta["batch_sizes"]
+            }
+        self.batch_sizes = sorted(self._fns)
+        self.chunk = int(self.meta["chunk"])
+
+    def init_state(self, batch_size: int) -> dict:
+        if batch_size not in self._fns:
+            raise ValueError(
+                f"no exported program for batch_size={batch_size}; "
+                f"available: {self.batch_sizes} (pad your streams up to "
+                f"a bucket)"
+            )
+        return _tree_from_spec_meta(self.meta["state"][str(batch_size)])
+
+    def step(self, params, state, chunk, chunk_lens=None):
+        chunk = np.asarray(chunk, np.float32)
+        b = chunk.shape[0]
+        expected = [b] + self.meta["chunk_input"]
+        if list(chunk.shape) != expected:
+            raise ValueError(
+                f"chunk shape {list(chunk.shape)} != exported {expected}"
+            )
+        if chunk_lens is None:
+            chunk_lens = np.full((b,), chunk.shape[1], np.int32)
+        # same loud PE-capacity bound as StreamingRecognizer.step —
+        # silent positional clamping on long streams would break the
+        # exact-vs-batch contract
+        cur = int(np.asarray(state["chunk_idx"]))
+        if (cur + 1) * self.chunk > int(self.meta["max_frames"]):
+            raise ValueError(
+                f"stream exceeds exported positional-encoding capacity "
+                f"(max_frames={self.meta['max_frames']}); re-export with "
+                f"a larger max_frames"
+            )
+        out = self._fns[b].call(
+            params, state, chunk, np.asarray(chunk_lens, np.int32)
+        )
+        return out  # (new_state, {"enc", "valid", "logits"})

@@ -157,6 +157,21 @@ class Solver:
         self._ep_mesh = (
             self.mesh if self.mesh.shape[DATA_AXIS] > 1 else None
         )
+        moe_cfg = (
+            model.moe_config() if hasattr(model, "moe_config") else None
+        )
+        if moe_cfg is not None and self.mesh.shape[DATA_AXIS] > 1:
+            n_exp = int(moe_cfg.get("num_experts", 0))
+            if n_exp % self.mesh.shape[DATA_AXIS] != 0:
+                # correct numerics, but the tables replicate and tokens
+                # all-gather — none of the advertised expert parallelism
+                logging.warning(
+                    "moe: num_experts=%d does not divide the data axis "
+                    "(%d); expert tables will be REPLICATED on every "
+                    "chip (no expert parallelism). Use a multiple of "
+                    "the data-axis size for sharded experts.",
+                    n_exp, self.mesh.shape[DATA_AXIS],
+                )
         params = self._place_params(model.params)
         self.model.params = params
         # optimizer moments are zeros_like(params): they inherit the

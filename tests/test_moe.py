@@ -287,3 +287,433 @@ def test_moe_rejects_pipeline_and_streaming():
     d["encoder"]["streaming"] = {"chunk": 4, "left_chunks": 2}
     with pytest.raises(Exception, match="streaming"):
         get_model_class(cfg.type).create_model(Config(d))
+
+
+# ------------------------------------------------------------- glu experts
+
+def _expert_glu_ffn(params, e, v):
+    """Per-token oracle for one glu expert: (v·w1+b1)*sigmoid(v·wg+bg)·w2."""
+    w1 = np.asarray(params["w1"], np.float64)
+    b1 = np.asarray(params["b1"], np.float64)
+    wg = np.asarray(params["w_gate"], np.float64)
+    bg = np.asarray(params["b_gate"], np.float64)
+    w2 = np.asarray(params["w2"], np.float64)
+    b2 = np.asarray(params["b2"], np.float64)
+    a = v @ w1[e] + b1[e]
+    g = v @ wg[e] + bg[e]
+    return (a * (1.0 / (1.0 + np.exp(-g)))) @ w2[e] + b2[e]
+
+
+def _init_moe_glu(d=16, f=32, experts=4, top_k=2, cf=8.0, t=12, b=2, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    x = jax.random.normal(rng, (b, t, d))
+    mod = MoEFeedForward(d, f, num_experts=experts, top_k=top_k,
+                         capacity_factor=cf, activation="glu")
+    params = mod.init({"params": rng}, x)["params"]
+    return mod, params, x
+
+
+def test_glu_single_expert_equals_dense_glu_ffn():
+    """One glu expert with top_k=1 IS the dense glu FeedForward
+    (layers.py): pack [w1|w_gate] into linear1's width-2F kernel and
+    compare outputs exactly (reference glu semantics:
+    src/third_party/transformer.py:279-281,400-408)."""
+    from openasr_tpu.models.layers import FeedForward
+
+    mod, params, x = _init_moe_glu(experts=1, top_k=1)
+    y, _ = _apply(mod, params, x)
+
+    dense = FeedForward(16, 32, activation="glu")
+    k1 = np.concatenate(
+        [np.asarray(params["w1"][0]), np.asarray(params["w_gate"][0])], axis=1
+    )
+    bias1 = np.concatenate(
+        [np.asarray(params["b1"][0]), np.asarray(params["b_gate"][0])]
+    )
+    dense_params = {
+        "linear1": {"kernel": jnp.asarray(k1), "bias": jnp.asarray(bias1)},
+        "linear2": {"kernel": jnp.asarray(params["w2"][0]),
+                    "bias": jnp.asarray(params["b2"][0])},
+    }
+    ref = dense.apply({"params": dense_params}, x)
+    np.testing.assert_allclose(y, np.asarray(ref), atol=1e-5)
+
+
+def test_glu_topk_matches_per_token_oracle():
+    mod, params, x = _init_moe_glu(experts=4, top_k=2, cf=8.0)
+    y, aux = _apply(mod, params, x)
+    _, tg, ti = _router(params, x, 2)
+    B, T, _ = x.shape
+    ref = np.zeros_like(y, np.float64)
+    for b in range(B):
+        for t in range(T):
+            for j in range(2):
+                ref[b, t] += tg[b, t, j] * _expert_glu_ffn(
+                    params, int(ti[b, t, j]), np.asarray(x[b, t], np.float64)
+                )
+    np.testing.assert_allclose(y, ref, atol=1e-5)
+    assert np.isfinite(aux) and aux > 0
+
+
+def test_moe_unknown_activation_raises():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 4, 8))
+    mod = MoEFeedForward(8, 16, num_experts=2, activation="swish")
+    with pytest.raises(ValueError, match="activation"):
+        mod.init({"params": rng}, x)
+
+
+def _moe_glu_model_config(vocab=8):
+    cfg = _moe_model_config(vocab)
+    d = cfg.to_dict()
+    d["encoder"]["activation"] = "glu"
+    return Config(d)
+
+
+def test_glu_train_step_parity_single_vs_dp4tp2(tmp_path):
+    """The flagship activation (glu) trains identically on one device and
+    a dp4xtp2 mesh with expert tables sharded — the composition the
+    driver's MoE/EP dryrun section runs (__graft_entry__.py)."""
+    batch = _make_batch()
+    cpus = jax.devices("cpu")
+    results = {}
+    for tag, mesh in (
+        ("single", make_mesh(cpus[:1], model=1)),
+        ("dp4_tp2", make_mesh(cpus[:8], model=2)),
+    ):
+        cfg = _moe_glu_model_config()
+        model = get_model_class(cfg.type).create_model(cfg)
+        training = Config({
+            "num_epoch": 1, "exp_dir": str(tmp_path / f"glu_{tag}"),
+            "print_inteval": 1000, "accumulate_grad_batch": 1,
+            "init_lr": 1e-3, "optimtype": "adam", "grad_max_norm": 5.0,
+            "label_smooth": 0.1, "lambda_ctc": 0.5,
+            "lr_scheduler": {"type": "warmup_transformer",
+                             "warmup_step": 20, "d_model": 32},
+        })
+        solver = get_solver_class(cfg.type)(model, training, [], [], mesh=mesh)
+        arrays = shard_batch(array_fields(batch), mesh)
+        params, opt_state, loss, losses = solver._train_step(
+            model.params, solver.opt_state, arrays, jax.random.PRNGKey(3)
+        )
+        assert "moe_aux_loss" in losses
+        results[tag] = (jax.device_get(params), float(loss))
+    ref_params, ref_loss = results["single"]
+    params, loss = results["dp4_tp2"]
+    assert np.isclose(loss, ref_loss, rtol=2e-4), (loss, ref_loss)
+    _params_allclose(params, ref_params, 2e-3, 2e-5, "glu_dp4_tp2")
+
+
+# ------------------------------------------------- validation & rejection
+
+def test_moe_rejected_for_incapable_families():
+    """Families whose loss paths never collect the router aux reject a
+    moe section at construction (Framework.__init__) — no model type can
+    run a router whose balance loss is silently dropped."""
+    moe = {"num_experts": 4, "top_k": 2}
+
+    gru = Config({
+        "type": "gru_ctc", "add_blk": True,
+        "signal": {"d_model": 16},
+        "encoder": {"type": "GRU", "d_input": 16, "d_model": 16,
+                    "n_layers": 1, "moe": moe},
+        "decoder": {"type": "FC_Decoder", "vocab_size": 8, "d_model": 16},
+    })
+    with pytest.raises(ValueError, match="moe"):
+        get_model_class("gru_ctc").create_model(gru)
+
+    gan = Config({
+        "type": "gan_phone2char",
+        "G": {"encoder": {"vocab_size": 16, "d_model": 16, "moe": moe},
+              "decoder": {"vocab_size": 8, "d_model": 16, "nhead": 2,
+                          "num_layers": 1, "dim_feedforward": 32,
+                          "activation": "relu", "dropout_rate": 0.0}},
+        "D": {"encoder": {"d_input": 8, "d_model": 16, "layer_num": 1}},
+    })
+    with pytest.raises(ValueError, match="moe"):
+        get_model_class("gan_phone2char").create_model(gan)
+
+    embed = Config({
+        "type": "Embed_Decoder",
+        "encoder": {"vocab_size": 16, "d_model": 16, "moe": moe},
+        "decoder": {"vocab_size": 8, "d_model": 16, "nhead": 2,
+                    "num_layers": 1, "encoder_dim": 16,
+                    "dim_feedforward": 32, "activation": "relu",
+                    "dropout_rate": 0.0},
+    })
+    with pytest.raises(ValueError, match="moe"):
+        get_model_class("Embed_Decoder").create_model(embed)
+
+
+def test_moe_in_wrong_section_rejected():
+    """A moe block in a section the family never reads (e.g. decoder.moe
+    on conv-ctc-transformer) fails loudly instead of being ignored."""
+    cfg = model_config(8)
+    d = cfg.to_dict()
+    d["decoder"]["moe"] = {"num_experts": 4}
+    with pytest.raises(ValueError, match="section"):
+        get_model_class(cfg.type).create_model(Config(d))
+
+
+def test_validate_config_rejects_bad_moe():
+    from openasr_tpu.config import validate_config
+
+    def model_with(moe=None, activation="relu", mtype="conv-ctc-transformer"):
+        return {
+            "model": {
+                "type": mtype,
+                "encoder": {"input_dim": 20, "d_model": 32, "nhead": 2,
+                            "dim_feedforward": 64, "num_layers": 2,
+                            "activation": activation, "moe": moe},
+            }
+        }
+
+    good = {"num_experts": 4, "top_k": 2, "every": 2}
+    validate_config(model_with(good))  # sanity: flagship shape passes
+
+    with pytest.raises(ValueError, match="num_experts"):
+        validate_config(model_with({"top_k": 2}))
+    with pytest.raises(ValueError, match="every"):
+        validate_config(model_with({"num_experts": 4, "every": 0}))
+    with pytest.raises(ValueError, match="num_layers"):
+        validate_config(model_with({"num_experts": 4, "every": 3}))
+    with pytest.raises(ValueError, match="top_k"):
+        validate_config(model_with({"num_experts": 4, "top_k": 0}))
+    with pytest.raises(ValueError, match="capacity_factor"):
+        validate_config(model_with({"num_experts": 4,
+                                    "capacity_factor": -1.0}))
+    with pytest.raises(ValueError, match="activation"):
+        validate_config(model_with(good, activation="swish"))
+    with pytest.raises(ValueError, match="not supported"):
+        validate_config(model_with(good, mtype="gru_ctc"))
+    # glu (the flagship activation) is supported
+    validate_config(model_with(good, activation="glu"))
+
+
+def test_from_config_guards_bad_every():
+    from openasr_tpu.models.encoder import TransformerEncoder
+
+    base = {"input_dim": 20, "d_model": 32, "nhead": 2,
+            "dim_feedforward": 64, "num_layers": 2, "activation": "relu"}
+    with pytest.raises(ValueError, match="moe"):
+        TransformerEncoder.from_config(
+            Config(dict(base, moe={"num_experts": 4, "every": 0}))
+        )
+    with pytest.raises(ValueError, match="zero MoE layers"):
+        TransformerEncoder.from_config(
+            Config(dict(base, moe={"num_experts": 4, "every": 5}))
+        )
+
+
+# --------------------------------------------- aux collection per family
+
+def test_cif_families_collect_moe_aux():
+    """CIF/ctc_cif and CIF_FC/CIF_MIX losses carry the router aux when
+    encoder.moe is on (round-3 gap: their loss() used plain apply and
+    silently dropped the sow)."""
+    moe = {"num_experts": 4, "top_k": 2, "capacity_factor": 2.0, "every": 1}
+    enc = {"type": "Transformer", "sub": {"type": "ConvV2", "layer_num": 1},
+           "input_dim": 20, "d_model": 32, "nhead": 2,
+           "dim_feedforward": 64, "activation": "glu", "num_layers": 1,
+           "dropout_rate": 0.0, "moe": moe}
+
+    cif_cfg = Config({
+        "type": "ctc_cif", "add_eos": True, "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": enc,
+        "assigner": {"d_model": 32, "n_layers": 2, "w_context": 3,
+                     "dropout": 0.0},
+        "decoder": {"type": "CIF_Decoder", "vocab_size": 8, "d_model": 32,
+                    "nhead": 2, "num_layers": 1, "encoder_dim": 32,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "dropout_rate": 0.0},
+    })
+    model = get_model_class("ctc_cif").create_model(cif_cfg)
+    batch = _make_batch()
+    losses = model.loss(model.params, batch, {}, train=False)
+    assert "moe_aux_loss" in losses
+    assert np.isfinite(float(losses["moe_aux_loss"]))
+
+    fc_cfg = Config({
+        "type": "CIF_FC", "add_eos": True, "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": enc,
+        "assigner": {"d_model": 32, "n_layers": 2, "w_context": 3,
+                     "dropout": 0.0},
+        "decoder": {"vocab_size": 8},
+    })
+    fc_model = get_model_class("CIF_FC").create_model(fc_cfg)
+    rs = np.random.RandomState(0)
+    fc_batch = {
+        "feats": rs.randn(2, 48, 20).astype(np.float32),
+        "feat_lengths": np.asarray([48, 40], np.int32),
+        "phones": rs.randint(3, 7, (2, 6)).astype(np.int32),
+        "phone_lengths": np.asarray([6, 4], np.int32),
+    }
+    fc_losses = fc_model.loss(fc_model.params, fc_batch, {}, train=False)
+    assert "moe_aux_loss" in fc_losses
+    assert np.isfinite(float(fc_losses["moe_aux_loss"]))
+
+
+def test_embed_decoder_ctc_collects_moe_aux():
+    """Embed_Decoder_CTC's transformer stack lives under the 'decoder'
+    config section (reference naming) — moe there is honored and its aux
+    collected."""
+    cfg = Config({
+        "type": "Embed_Decoder_CTC",
+        "encoder": {"vocab_size": 16, "d_model": 32},
+        "decoder": {"vocab_size": 8, "d_model": 32, "nhead": 2,
+                    "num_layers": 1, "dim_feedforward": 64,
+                    "activation": "glu", "dropout_rate": 0.0,
+                    "moe": {"num_experts": 4, "top_k": 2, "every": 1}},
+    })
+    model = get_model_class("Embed_Decoder_CTC").create_model(cfg)
+    rs = np.random.RandomState(1)
+    paddings = np.zeros((2, 5), np.float32)
+    paddings[:, 4:] = 1.0
+    batch = {
+        "phones": rs.randint(3, 15, (2, 7)).astype(np.int32),
+        "phone_lengths": np.asarray([7, 5], np.int32),
+        "labels": rs.randint(3, 7, (2, 5)).astype(np.int32),
+        "paddings": paddings,
+    }
+    losses = model.loss(model.params, batch, {}, train=False)
+    assert "moe_aux_loss" in losses
+    assert np.isfinite(float(losses["moe_aux_loss"]))
+
+
+# --------------------------------------------- composition with machinery
+
+def test_moe_checkpoint_roundtrip_and_averaging(tmp_path):
+    """Expert tables (incl. glu's w_gate/b_gate) survive package ->
+    save -> load -> restore and avg_last_ckpts."""
+    from openasr_tpu.utils.checkpoint import (
+        average_last_ckpts,
+        load_package,
+        save_package,
+    )
+
+    cfg = _moe_glu_model_config()
+    model = get_model_class(cfg.type).create_model(cfg)
+    pkg = model.package()
+
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    save_package(pkg, str(exp / "ep-01.pkg"))
+    # a second "epoch": perturb every leaf by +1
+    pkg2 = jax.tree_util.tree_map(lambda a: np.asarray(a) + 1.0, pkg["components"])
+    save_package(dict(pkg, components=pkg2), str(exp / "ep-02.pkg"))
+
+    out = average_last_ckpts(str(exp), 2, str(exp / "avg.pkg"))
+    avg = load_package(out)
+
+    flat_model = {
+        jax.tree_util.keystr(p): np.asarray(l)
+        for p, l in jax.tree_util.tree_flatten_with_path(pkg["components"])[0]
+    }
+    flat_avg = {
+        jax.tree_util.keystr(p): np.asarray(l)
+        for p, l in jax.tree_util.tree_flatten_with_path(avg["components"])[0]
+    }
+    moe_keys = [k for k in flat_model if "moe_ffn" in k]
+    assert any("w_gate" in k for k in moe_keys), "glu gate table missing"
+    for k in moe_keys:
+        np.testing.assert_allclose(
+            flat_avg[k], flat_model[k] + 0.5, atol=1e-6, err_msg=k
+        )
+
+    # restore: the averaged package loads back into a fresh model
+    fresh = get_model_class(cfg.type).create_model(cfg)
+    fresh.restore(avg)
+    for p, l in jax.tree_util.tree_flatten_with_path(fresh.params)[0]:
+        k = jax.tree_util.keystr(p)
+        if "moe_ffn" in k:
+            np.testing.assert_allclose(
+                np.asarray(l), flat_avg[k], atol=1e-6, err_msg=k
+            )
+
+
+def test_moe_with_flash_attention_path(tmp_path):
+    """MoE layers compose with the Pallas flash-attention path (interpret
+    mode on CPU) under a dp4xtp2 mesh — the real-pod hot path."""
+    import os
+
+    from openasr_tpu.kernels import set_flash_attention
+
+    batch = _make_batch()
+    cpus = jax.devices("cpu")
+    mesh = make_mesh(cpus[:8], model=2)
+    set_flash_attention(True)
+    os.environ["OPENASR_FLASH_MIN_LEN"] = "0"
+    try:
+        solver, model = _moe_solver(mesh, tmp_path, "flash")
+        arrays = shard_batch(array_fields(batch), mesh)
+        params, opt_state, loss, losses = solver._train_step(
+            model.params, solver.opt_state, arrays, jax.random.PRNGKey(11)
+        )
+        assert np.isfinite(float(loss))
+        assert "moe_aux_loss" in losses
+    finally:
+        set_flash_attention(False)
+        os.environ.pop("OPENASR_FLASH_MIN_LEN", None)
+
+
+def test_ep_dispatch_all_to_all_no_table_gather():
+    """The EP dispatch lowers to all-to-alls and NEVER all-gathers an
+    expert weight table on a dp>1 mesh (the memory blow-up expert
+    parallelism exists to avoid).  The staged token-side pin in
+    shard_experts (parallel/mesh.py) forces GSPMD's cost model off the
+    replicate-the-tokens strategy it otherwise picks at test sizes."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from openasr_tpu.parallel.mesh import expert_parallel
+
+    cpus = jax.devices("cpu")
+    mesh = make_mesh(cpus[:8], model=1)  # dp8: 1 expert per chip
+    d, f = 16, 32
+    mod = MoEFeedForward(d, f, num_experts=8, top_k=2, capacity_factor=2.0,
+                         activation="glu")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 12, d))
+    params = mod.init({"params": rng}, x)["params"]
+
+    def place(name, leaf):
+        spec = (
+            P() if leaf.ndim <= 1 or name == "router"
+            else P(DATA_AXIS, *([None] * (leaf.ndim - 1)))
+        )
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    placed = {
+        k: (
+            {kk: place("router", vv) for kk, vv in v.items()}
+            if k == "router"
+            else place(k, v)
+        )
+        for k, v in params.items()
+    }
+    xp = jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, None, None)))
+
+    def loss_fn(p, xx):
+        y, _ = mod.apply({"params": p}, xx, True, None, mutable=["moe"])
+        return jnp.sum(y * y)
+
+    g = jax.jit(jax.grad(loss_fn))
+    with expert_parallel(mesh):
+        txt = g.lower(placed, xp).compile().as_text()
+
+    assert "all-to-all" in txt, "EP dispatch produced no all-to-alls"
+
+    # expert tables: global [8,16,32]/[8,32,16]/[8,32]/[8,16]; a gather
+    # of a table (from its per-partition [1,...] shard) would produce
+    # exactly these global shapes with 3 (or 2) dims led by 8=E
+    table_shapes = {"[8,16,32]", "[8,32,16]", "[8,32]", "[8,16]"}
+    for line in txt.splitlines():
+        if "all-gather(" not in line:
+            continue
+        shape = line.split("= ", 1)[-1].split(" ", 1)[0]  # e.g. f32[8,12,16]{...}
+        dims = shape.split("[", 1)[-1].split("]", 1)[0]
+        assert f"[{dims}]" not in table_shapes, (
+            f"expert table all-gathered: {line[:160]}"
+        )

@@ -87,3 +87,156 @@ def test_sclite_cli_scores_golden_decode(tmp_path):
     text = report.read_text()
     assert "SYSTEM SUMMARY" in text
     assert "7176" in text
+
+
+# ----------------------------------------------------------------------
+# Round 4: the remaining committed reference data assets — hkust,
+# callhome_hkust, IPA2char (reference: egs/*/data/*) — wired as
+# tokenizer-closure + scorer fixtures like aishell1's above.  The three
+# hyp_small.txt goldens under egs/hkust/exp/ctc, egs/IPA2char/exp/
+# pinyin2char and egs/callhome_hkust/exp/cif_mix are EMPTY FILES in the
+# reference (committed verbatim here); the one non-empty golden
+# (cif_mix_ja) carries 6 utt-ids with empty hypotheses and is pinned
+# through the scorer.
+
+HKUST_VOCAB = os.path.join(REPO, "egs", "hkust", "data", "vocab.char")
+HKUST_VOCAB_SMALL = os.path.join(REPO, "egs", "hkust", "data",
+                                 "vocab_small.char")
+CALLHOME_IPA = os.path.join(REPO, "egs", "callhome_hkust", "data",
+                            "callhome.IPA")
+VOCAB_JA = os.path.join(REPO, "egs", "callhome_hkust", "data",
+                        "vocab_ja.char")
+IPA2CHAR_VOCAB = os.path.join(REPO, "egs", "IPA2char", "data", "vocab.char")
+IPA2CHAR_IPA = os.path.join(REPO, "egs", "IPA2char", "data", "callhome.IPA")
+GOLDEN_JA = os.path.join(REPO, "egs", "callhome_hkust", "exp", "cif_mix_ja",
+                         "hyp_small.txt")
+
+
+def test_hkust_vocab_assets():
+    """The hkust inventory is 'unit id' lines (Kaldi words.txt layout,
+    first field is the unit); CharTokenizer takes field 0, so the same
+    loader covers both layouts."""
+    from openasr_tpu.data.tokenizer import CharTokenizer
+
+    with open(HKUST_VOCAB, encoding="utf-8") as f:
+        lines = [l.split() for l in f if l.strip()]
+    assert len(lines) == 3671
+    assert lines[0][0] == "[VOCALIZED-NOISE]"  # Kaldi noise marks kept
+
+    tok = CharTokenizer(HKUST_VOCAB, add_blk=True)
+    # <unk>/<sos>/<eos> + 3671 units + <blk>
+    assert tok.unit_num() == 3675
+    small = CharTokenizer(HKUST_VOCAB_SMALL, add_blk=True)
+    assert small.unit_num() < tok.unit_num()
+    # the small inventory is a prefix subset of the full one
+    with open(HKUST_VOCAB_SMALL, encoding="utf-8") as f:
+        small_units = [l.split()[0] for l in f if l.strip()]
+    full_units = {l[0] for l in lines}
+    assert set(small_units) <= full_units
+
+
+def test_callhome_ipa_phone_inventory():
+    """callhome.IPA: the IPA phone set shared by callhome_hkust and
+    IPA2char (byte-identical in the reference)."""
+    from openasr_tpu.data.tokenizer import CharTokenizer
+
+    with open(CALLHOME_IPA, encoding="utf-8") as f:
+        phones = [l.strip() for l in f if l.strip()]
+    assert len(phones) == 72
+    assert phones[:4] == ["SIL", "SPN", "NSN", "LAU"]
+    with open(IPA2CHAR_IPA, encoding="utf-8") as f:
+        assert [l.strip() for l in f if l.strip()] == phones
+
+    tok = CharTokenizer(CALLHOME_IPA)  # phone side: no blank
+    assert tok.unit_num() == 75  # + <unk>/<sos>/<eos>
+
+
+def test_vocab_ja_tokenizer():
+    from openasr_tpu.data.tokenizer import CharTokenizer
+
+    tok = CharTokenizer(VOCAB_JA, add_blk=True)
+    with open(VOCAB_JA, encoding="utf-8") as f:
+        n = sum(1 for l in f if l.strip())
+    assert n == 1710
+    assert tok.unit_num() == n + 4
+    ids = tok.encode("う ん")
+    assert all(i >= 3 for i in ids)  # both chars in-vocabulary
+
+
+def test_ipa2char_char_vocab_matches_hkust():
+    """IPA2char's char side reuses the hkust char inventory (the
+    reference's Mandarin CALLHOME/HKUST set) — same 3671 units in the
+    same order; hkust's copy additionally carries Kaldi id columns."""
+    with open(IPA2CHAR_VOCAB, encoding="utf-8") as f:
+        a = [l.split()[0] for l in f if l.strip()]
+    with open(HKUST_VOCAB, encoding="utf-8") as f:
+        b = [l.split()[0] for l in f if l.strip()]
+    assert a == b
+
+
+def test_cif_mix_ja_golden_through_scorer():
+    """The one non-empty reference golden: 6 utt-ids, empty hypothesis
+    fields.  Pins (a) the published decode's shape, (b) that the scorer
+    accepts empty-hypothesis lines (a real decode output class for
+    under-trained CIF models) without crashing."""
+    with open(GOLDEN_JA, encoding="utf-8") as f:
+        lines = [l.rstrip("\n") for l in f]
+    lines = [l for l in lines if l.strip()]
+    assert len(lines) == 6
+    for line in lines:
+        utt = line.split()[0]
+        assert utt.startswith("ja_"), utt
+        assert line.split()[1:] == []  # empty hypothesis
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "wer.py"),
+         "--hyp", GOLDEN_JA, "--ref", GOLDEN_JA, "--cer"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    assert "CER 0.00" in out
+    assert "6 snt" in out
+
+
+def test_empty_reference_goldens_committed_verbatim():
+    """The reference committed these goldens as empty files; keep the
+    byte-for-byte record so the recipe trees match."""
+    for rel in (
+        ("hkust", "exp", "ctc", "hyp_small.txt"),
+        ("callhome_hkust", "exp", "cif_mix", "hyp_small.txt"),
+        ("IPA2char", "exp", "pinyin2char", "hyp_small.txt"),
+    ):
+        path = os.path.join(REPO, "egs", *rel)
+        assert os.path.exists(path), path
+        assert os.path.getsize(path) == 0, path
+
+
+def test_recipe_configs_point_at_committed_assets():
+    """Every non-test hkust/callhome_hkust/IPA2char config resolves its
+    vocab paths to files that exist in the repo (runnable unmodified
+    once the user supplies the corpus features)."""
+    import glob
+
+    import yaml
+
+    committed = {"vocab.char", "vocab_small.char", "callhome.IPA",
+                 "vocab_ja.char"}
+    checked = 0
+    for corpus in ("hkust", "callhome_hkust", "IPA2char"):
+        for cfg_path in glob.glob(
+            os.path.join(REPO, "egs", corpus, "configs", "*.yaml")
+        ):
+            name = os.path.basename(cfg_path)
+            if "test" in name or "cpu" in name or "debug" in name:
+                continue
+            with open(cfg_path, encoding="utf-8") as f:
+                cfg = yaml.safe_load(f)
+            data = (cfg or {}).get("data") or {}
+            for key in ("vocab_path", "vocab_phone", "vocab_char"):
+                rel = data.get(key)
+                if rel is None:
+                    continue
+                if os.path.basename(rel) in committed:
+                    full = os.path.join(REPO, "egs", corpus, rel)
+                    assert os.path.exists(full), f"{cfg_path}: {rel}"
+                    checked += 1
+    assert checked >= 10, "expected many configs wired to committed assets"

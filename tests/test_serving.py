@@ -143,3 +143,126 @@ def test_export_ctc_kind(tmp_path):
     np.testing.assert_allclose(
         np.exp(log_probs).sum(-1), 1.0, rtol=1e-4
     )
+
+
+def test_export_streaming_step_roundtrip(tmp_path):
+    """export_streaming_step: the AOT tick reproduces the live
+    StreamingRecognizer exactly, chunk by chunk, from a rebuilt zero
+    state — no model code on the serving side."""
+    import jax
+    import numpy as np
+
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.serving import ExportedStreamer, export_streaming_step
+    from openasr_tpu.streaming import StreamingRecognizer
+
+    from test_streaming import _speech_cfg
+
+    cfg = _speech_cfg({"chunk": 4, "left_chunks": 2}, online=False)
+    model = get_model_class(cfg.type).create_model(cfg)
+    path = str(tmp_path / "stream.zip")
+    export_streaming_step(model, batch_sizes=[2], path=path,
+                          platforms=("cpu",))
+
+    streamer = ExportedStreamer(path)
+    rec = StreamingRecognizer(model)
+
+    state_live = rec.init_state(2)
+    state_aot = streamer.init_state(2)
+
+    rng = np.random.RandomState(0)
+    for tick in range(3):
+        chunk = rng.randn(2, 16, 20).astype(np.float32)  # [B, 4*chunk, D]
+        lens = np.asarray([16, 12 if tick == 2 else 16], np.int32)
+        state_live, out_live = rec.step(state_live, chunk, lens)
+        state_aot, out_aot = streamer.step(model.params, state_aot, chunk,
+                                           lens)
+        np.testing.assert_allclose(
+            np.asarray(out_aot["enc"]), np.asarray(out_live["enc"]),
+            atol=1e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_aot["valid"]), np.asarray(out_live["valid"])
+        )
+        if out_live["logits"] is not None:
+            np.testing.assert_allclose(
+                np.asarray(out_aot["logits"]),
+                np.asarray(out_live["logits"]), atol=1e-5,
+            )
+        for (pa, la), (pl, ll) in zip(
+            jax.tree_util.tree_flatten_with_path(state_aot)[0],
+            jax.tree_util.tree_flatten_with_path(state_live)[0],
+        ):
+            assert jax.tree_util.keystr(pa) == jax.tree_util.keystr(pl)
+            np.testing.assert_allclose(
+                np.asarray(la), np.asarray(ll), atol=1e-5,
+                err_msg=jax.tree_util.keystr(pa),
+            )
+
+
+def test_exported_streamer_rejects_wrong_artifacts_and_shapes(tmp_path):
+    import numpy as np
+    import pytest
+
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.serving import ExportedStreamer, export_streaming_step
+
+    from test_streaming import _speech_cfg
+
+    cfg = _speech_cfg({"chunk": 4, "left_chunks": 2}, online=False)
+    model = get_model_class(cfg.type).create_model(cfg)
+    path = str(tmp_path / "stream.zip")
+    export_streaming_step(model, batch_sizes=[2], path=path,
+                          platforms=("cpu",), max_frames=8)
+
+    s = ExportedStreamer(path)
+    with pytest.raises(ValueError, match="batch_size"):
+        s.init_state(3)
+    state = s.init_state(2)
+    with pytest.raises(ValueError, match="chunk shape"):
+        s.step(model.params, state, np.zeros((2, 7, 20), np.float32))
+    # PE capacity: max_frames=8 allows 2 chunks of 4; the 3rd must raise
+    chunk = np.zeros((2, 16, 20), np.float32)
+    for _ in range(2):
+        state, _out = s.step(model.params, state, chunk)
+    with pytest.raises(ValueError, match="capacity"):
+        s.step(model.params, state, chunk)
+
+
+def test_export_decode_cli_streaming(tmp_path):
+    """tools/export_decode.py --streaming produces an ExportedStreamer
+    artifact from a packaged checkpoint (the CLI path a deployment
+    would run)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.serving import ExportedStreamer
+    from openasr_tpu.utils.checkpoint import save_package
+
+    from test_streaming import _speech_cfg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import export_decode as export_decode_cli
+
+    cfg = _speech_cfg({"chunk": 4, "left_chunks": 2}, online=False)
+    model = get_model_class(cfg.type).create_model(cfg)
+    pkg_path = str(tmp_path / "last.pkg")
+    save_package({"model": model.package()}, pkg_path)
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("a\nb\nc\nd\n")
+
+    out = str(tmp_path / "stream.aot")
+    export_decode_cli.main([
+        "--model_type", cfg.type, "--model_pkg", pkg_path,
+        "--vocab_path", str(vocab), "--out", out, "--add_blk",
+        "--platforms", "cpu", "--streaming", "--stream_batches", "2",
+    ])
+    s = ExportedStreamer(out)
+    state = s.init_state(2)
+    chunk = np.random.RandomState(0).randn(2, 16, 20).astype(np.float32)
+    state, tick = s.step(model.params, state, chunk)
+    assert np.asarray(tick["enc"]).shape[0] == 2

@@ -8,6 +8,11 @@
 The artifact contains StableHLO for each (batch, frames) bucket and for
 each platform (tpu + cpu by default); serve it with
 `openasr_tpu.serving.ExportedDecoder` — no model code, no retracing.
+
+`--streaming` exports the streaming executor's tick instead (the
+latency-critical serving path; requires a model trained with
+`encoder.streaming`): one program per `--stream_batches` size, served
+with `openasr_tpu.serving.ExportedStreamer`.
 """
 
 import argparse
@@ -47,6 +52,13 @@ def main(argv=None):
                    help="compute dtype baked into the exported program; "
                         "bfloat16 doubles MXU throughput on the decode "
                         "matmuls (beam scoring stays float32)")
+    p.add_argument("--streaming", action="store_true", default=False,
+                   help="export the streaming tick (ExportedStreamer) "
+                        "instead of batch beam decode")
+    p.add_argument("--stream_batches", default="1,8",
+                   help="comma list of stream batch sizes (--streaming)")
+    p.add_argument("--max_frames", type=int, default=5000,
+                   help="positional-encoding capacity for --streaming")
     args = p.parse_args(argv)
 
     tokenizer = CharTokenizer(args.vocab_path, add_blk=args.add_blk)
@@ -65,6 +77,18 @@ def main(argv=None):
         configs, dtype=compute_dtype
     )
     model.restore(model_pkg)
+
+    if args.streaming:
+        from openasr_tpu.serving import export_streaming_step
+
+        sizes = [int(x) for x in args.stream_batches.split(",")]
+        export_streaming_step(
+            model, batch_sizes=sizes, path=args.out,
+            platforms=tuple(args.platforms.split(",")),
+            max_frames=args.max_frames,
+        )
+        print(f"exported streaming step for batches {sizes} -> {args.out}")
+        return
 
     buckets = [
         tuple(int(x) for x in spec.split("x"))
