@@ -2,6 +2,6 @@
 # CPU smoke path for the phone2char CLIs: synthetic phone/char pairs.
 set -e
 source path.sh
-[ -f data/feats.scp ] || python $MAIN_ROOT/tools/gen_mini_corpus.py --out data
+[ -f data/train.json ] || python $MAIN_ROOT/tools/gen_mini_corpus.py --out data
 export OPENASR_DEVICE=cpu JAX_PLATFORMS=cpu
 python -m openasr_tpu.bin.train_phone2char ${1:-configs/phone2char_test.yaml}

@@ -5,6 +5,6 @@
 set -e
 source path.sh
 config=${1:-configs/ctc_test.yaml}
-[ -f data/feats.scp ] || python $MAIN_ROOT/tools/gen_mini_corpus.py --out data
+[ -f data/train.json ] || python $MAIN_ROOT/tools/gen_mini_corpus.py --out data
 export OPENASR_DEVICE=cpu JAX_PLATFORMS=cpu
 python -m openasr_tpu.bin.train $config

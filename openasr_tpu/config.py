@@ -159,6 +159,7 @@ _KNOWN_KEYS: dict = {
     "model.encoder.streaming": {"chunk", "left_chunks"},
     "model.encoder.moe": {
         "num_experts", "top_k", "capacity_factor", "every", "aux_weight",
+        "router",
     },
     "model.decoder": {
         "type", "vocab_size", "d_model", "nhead", "num_layers",
@@ -268,6 +269,12 @@ def validate_moe(model_cfg: Mapping) -> None:
             raise ValueError(
                 f"config: {prefix}.activation={act!r} has no MoE expert "
                 f"implementation (MoEFeedForward supports {supported})"
+            )
+        router = moe.get("router", "topk")
+        if router not in MoEFeedForward.SUPPORTED_ROUTERS:
+            raise ValueError(
+                f"config: {path}.router={router!r} unknown "
+                f"(supported: {MoEFeedForward.SUPPORTED_ROUTERS})"
             )
 
 

@@ -153,6 +153,7 @@ class TransformerEncoder(nn.Module):
     moe_top_k: int = 2
     moe_capacity: float = 1.25
     moe_every: int = 2
+    moe_router: str = "topk"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -248,6 +249,7 @@ class TransformerEncoder(nn.Module):
                     moe_experts=self.moe_experts if moe_here else 0,
                     moe_top_k=self.moe_top_k,
                     moe_capacity=self.moe_capacity,
+                    moe_router=self.moe_router,
                     name=f"layer{i}",
                 )(x, bias, deterministic,
                   None if bias is not None else lengths, False)
@@ -297,6 +299,7 @@ class TransformerEncoder(nn.Module):
             moe_top_k=int(moe.get("top_k", 2)),
             moe_capacity=float(moe.get("capacity_factor", 1.25)),
             moe_every=int(moe.get("every", 2)),
+            moe_router=str(moe.get("router", "topk")),
             dtype=dtype,
         )
 

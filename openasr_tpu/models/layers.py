@@ -310,6 +310,7 @@ class TransformerEncoderLayer(nn.Module):
     moe_experts: int = 0
     moe_top_k: int = 2
     moe_capacity: float = 1.25
+    moe_router: str = "topk"
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
@@ -322,7 +323,8 @@ class TransformerEncoderLayer(nn.Module):
             self.ffn = MoEFeedForward(
                 self.d_model, self.dim_feedforward, self.moe_experts,
                 self.moe_top_k, self.moe_capacity, self.activation,
-                self.dropout_rate, self.dtype, name="moe_ffn",
+                self.dropout_rate, self.moe_router, self.dtype,
+                name="moe_ffn",
             )
         else:
             self.ffn = FeedForward(

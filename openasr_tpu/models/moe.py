@@ -55,12 +55,23 @@ def _capacity(tokens: int, num_experts: int, top_k: int, factor: float) -> int:
 
 
 class MoEFeedForward(nn.Module):
-    """Top-k routed mixture of position-wise FFN experts.
+    """Routed mixture of position-wise FFN experts.
 
-    Drop-in for `FeedForward` (layers.py) inside a post-LN encoder layer:
-    y[token] = Σ_j gate_j · FFN_{e_j}(x[token]) over the token's top-k
-    experts (gates renormalized over the selected k), 0 for tokens that
-    overflow expert capacity (they survive via the residual add).
+    Drop-in for `FeedForward` (layers.py) inside a post-LN encoder layer.
+    Two routers (``router_type``):
+
+      * ``topk`` (default, GShard/Switch): each token picks its top-k
+        experts; y[token] = Σ_j gate_j · FFN_{e_j}(x[token]) with gates
+        renormalized over the selected k; tokens overflowing an expert's
+        capacity get 0 (they survive via the residual add); the Switch
+        load-balance auxiliary is sown for the training objective.
+      * ``expert_choice`` (Zhou et al. 2022): each expert picks its top-C
+        tokens per batch row — perfect load balance BY CONSTRUCTION
+        (every expert processes exactly C tokens; no auxiliary loss, none
+        is sown), variable experts-per-token.  The TPU-natural variant:
+        one more static top_k, same dense dispatch/combine einsums.
+        Encoder-only (routing looks ahead over the whole row — exactly
+        why MoE already rejects `encoder.streaming`).
     """
 
     d_model: int
@@ -70,9 +81,11 @@ class MoEFeedForward(nn.Module):
     capacity_factor: float = 1.25
     activation: str = "relu"
     dropout_rate: float = 0.0
+    router_type: str = "topk"
     dtype: Dtype = jnp.float32
 
     SUPPORTED_ACTIVATIONS = ("relu", "gelu", "glu")
+    SUPPORTED_ROUTERS = ("topk", "expert_choice")
 
     @nn.compact
     def __call__(
@@ -84,7 +97,12 @@ class MoEFeedForward(nn.Module):
         """x: [B, T, D]; pad_mask: optional [B, T] (1 = valid token)."""
         B, T, D = x.shape
         E, K = self.num_experts, min(self.top_k, self.num_experts)
-        C = _capacity(T, E, K, self.capacity_factor)
+        C = min(_capacity(T, E, K, self.capacity_factor), T)
+        if self.router_type not in self.SUPPORTED_ROUTERS:
+            raise ValueError(
+                f"moe router must be one of {self.SUPPORTED_ROUTERS}, "
+                f"got {self.router_type!r}"
+            )
 
         # ---- router (float32: softmax over expert logits is the one
         # numerically delicate spot in the layer)
@@ -98,34 +116,12 @@ class MoEFeedForward(nn.Module):
             else jnp.ones((B, T), jnp.float32)
         )
 
-        top_g, top_i = jax.lax.top_k(gates, K)  # [B, T, K]
-        top_g = top_g / jnp.maximum(
-            jnp.sum(top_g, axis=-1, keepdims=True), 1e-9
-        )
-
-        # ---- position-in-expert: choice j of each token is placed after
-        # every choice j'<j and after all earlier tokens' choice j (GShard
-        # ordering).  cumsum is over T only — each batch row is its own
-        # routing group, so the dispatch shape stays [B, T, E, C] and the
-        # batch dim stays 'data'-sharded end to end.
-        combine = jnp.zeros((B, T, E, C), jnp.float32)
-        offsets = jnp.zeros((B, E), jnp.float32)
-        for j in range(K):
-            m = jax.nn.one_hot(top_i[..., j], E, dtype=jnp.float32)
-            m = m * valid[..., None]  # padding never consumes capacity
-            pos = jnp.cumsum(m, axis=1) - m + offsets[:, None, :]
-            kept = m * (pos < C)
-            slot = jax.nn.one_hot(
-                jnp.sum(pos * m, axis=-1).astype(jnp.int32), C,
-                dtype=jnp.float32,
-            )  # [B, T, C]: the chosen expert's slot index
-            combine = combine + (
-                top_g[..., j, None, None] * kept[..., None] * slot[:, :, None, :]
-            )
-            offsets = offsets + jnp.sum(m, axis=1)
+        if self.router_type == "expert_choice":
+            combine = self._expert_choice_combine(gates, valid, C)
+        else:
+            combine = self._topk_combine(gates, valid, K, C)
 
         dispatch = (combine > 0).astype(self.dtype)  # [B, T, E, C]
-
         # ---- expert compute: [E, B, C, D] rides the 'data'-sharded
         # expert tables; shard_experts pins the layout so GSPMD emits the
         # dispatch/return all-to-alls instead of all-gathering the tokens.
@@ -183,11 +179,67 @@ class MoEFeedForward(nn.Module):
 
         # ---- load-balance auxiliary (Switch eq. 4), over valid tokens:
         # E * Σ_e (fraction of tokens whose top-1 is e) · (mean router
-        # prob of e).  Minimized (=1) by a uniform router.
-        n_valid = jnp.maximum(jnp.sum(valid), 1.0)
-        me = jnp.sum(gates * valid[..., None], axis=(0, 1)) / n_valid
-        top1 = jax.nn.one_hot(top_i[..., 0], E, dtype=jnp.float32)
-        ce = jnp.sum(top1 * valid[..., None], axis=(0, 1)) / n_valid
-        self.sow("moe", "aux_loss", E * jnp.sum(me * ce))
+        # prob of e).  Minimized (=1) by a uniform router.  expert_choice
+        # sows nothing: every expert processes exactly C tokens by
+        # construction, there is no balance to train.
+        if self.router_type == "topk":
+            n_valid = jnp.maximum(jnp.sum(valid), 1.0)
+            me = jnp.sum(gates * valid[..., None], axis=(0, 1)) / n_valid
+            top1 = jax.nn.one_hot(
+                jnp.argmax(gates, axis=-1), E, dtype=jnp.float32
+            )
+            ce = jnp.sum(top1 * valid[..., None], axis=(0, 1)) / n_valid
+            self.sow("moe", "aux_loss", E * jnp.sum(me * ce))
 
         return y.astype(x.dtype)
+
+    # ------------------------------------------------------------ routers
+
+    def _topk_combine(self, gates, valid, K: int, C: int):
+        """GShard token-choice: combine [B, T, E, C] from each token's
+        renormalized top-k gates, FIFO position-in-expert, capacity C."""
+        B, T, E = gates.shape
+        top_g, top_i = jax.lax.top_k(gates, K)  # [B, T, K]
+        top_g = top_g / jnp.maximum(
+            jnp.sum(top_g, axis=-1, keepdims=True), 1e-9
+        )
+
+        # position-in-expert: choice j of each token is placed after
+        # every choice j'<j and after all earlier tokens' choice j
+        # (GShard ordering).  cumsum is over T only — each batch row is
+        # its own routing group, so the dispatch shape stays [B, T, E, C]
+        # and the batch dim stays 'data'-sharded end to end.
+        combine = jnp.zeros((B, T, E, C), jnp.float32)
+        offsets = jnp.zeros((B, E), jnp.float32)
+        for j in range(K):
+            m = jax.nn.one_hot(top_i[..., j], E, dtype=jnp.float32)
+            m = m * valid[..., None]  # padding never consumes capacity
+            pos = jnp.cumsum(m, axis=1) - m + offsets[:, None, :]
+            kept = m * (pos < C)
+            slot = jax.nn.one_hot(
+                jnp.sum(pos * m, axis=-1).astype(jnp.int32), C,
+                dtype=jnp.float32,
+            )  # [B, T, C]: the chosen expert's slot index
+            combine = combine + (
+                top_g[..., j, None, None] * kept[..., None]
+                * slot[:, :, None, :]
+            )
+            offsets = offsets + jnp.sum(m, axis=1)
+        return combine
+
+    def _expert_choice_combine(self, gates, valid, C: int):
+        """Expert-choice: per batch row, expert e's C slots hold the C
+        tokens with the highest router prob for e (masked tokens are
+        never picked while any valid token remains); the combine weight
+        is the unnormalized router prob, as in the EC paper."""
+        # mask padded tokens BELOW any real softmax output so top_k
+        # prefers every valid token over any padded one
+        masked = jnp.where(valid[:, :, None] > 0, gates, -1.0)  # [B,T,E]
+        per_e = jnp.swapaxes(masked, 1, 2)  # [B, E, T]
+        g, idx = jax.lax.top_k(per_e, C)  # [B, E, C]
+        sel = jax.nn.one_hot(idx, per_e.shape[-1], dtype=jnp.float32)
+        # a slot that had to take a masked token (all-padded row tail)
+        # contributes nothing
+        picked = sel * (g[..., None] > 0)  # [B, E, C, T]
+        combine_ect = g[..., None] * picked
+        return jnp.transpose(combine_ect, (0, 3, 1, 2))  # [B, T, E, C]

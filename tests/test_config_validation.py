@@ -67,3 +67,25 @@ def test_unschema_sections_not_descended():
            "extra_section_no_schema": {"anything": 1}}
     unknown = validate_config(cfg)
     assert unknown == ["extra_section_no_schema"]
+
+
+def test_moe_validation_runs_at_load_time():
+    """validate_config invokes validate_moe on the model section: a bad
+    MoE config fails at YAML-load time with an actionable message, not
+    minutes later at create_model (see tests/test_moe.py for the full
+    field matrix)."""
+    import pytest
+
+    cfg = {
+        "model": {
+            "type": "conv-ctc-transformer",
+            "encoder": {"input_dim": 80, "d_model": 32, "nhead": 2,
+                        "dim_feedforward": 64, "num_layers": 2,
+                        "activation": "glu",
+                        "moe": {"num_experts": 4, "every": 0}},
+        }
+    }
+    with pytest.raises(ValueError, match="every"):
+        validate_config(cfg)
+    cfg["model"]["encoder"]["moe"]["every"] = 2
+    validate_config(cfg)  # the corrected config passes

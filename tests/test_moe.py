@@ -717,3 +717,123 @@ def test_ep_dispatch_all_to_all_no_table_gather():
         assert f"[{dims}]" not in table_shapes, (
             f"expert table all-gathered: {line[:160]}"
         )
+
+
+# ------------------------------------------------- expert-choice routing
+
+def _init_moe_ec(d=16, f=32, experts=4, cf=8.0, t=12, b=2, seed=0,
+                 activation="relu"):
+    rng = jax.random.PRNGKey(seed)
+    x = jax.random.normal(rng, (b, t, d))
+    mod = MoEFeedForward(d, f, num_experts=experts, top_k=2,
+                         capacity_factor=cf, activation=activation,
+                         router_type="expert_choice")
+    params = mod.init({"params": rng}, x)["params"]
+    return mod, params, x
+
+
+def _apply_ec(mod, params, x, pad_mask=None):
+    # expert_choice sows nothing; plain apply is the whole story
+    y = mod.apply({"params": params}, x, True, pad_mask)
+    return np.asarray(y)
+
+
+def test_expert_choice_matches_per_token_oracle():
+    """Each expert processes exactly its C highest-prob tokens per row;
+    a token's output is the sum of (unnormalized prob) * FFN_e over
+    every expert that picked it."""
+    b, t, experts, cf = 2, 8, 4, 1.0
+    mod, params, x = _init_moe_ec(experts=experts, cf=cf, t=t, b=b)
+    # C = ceil(T*k*cf/E) = ceil(8*2*1/4) = 4
+    C = 4
+    y = _apply_ec(mod, params, x)
+    g, _, _ = _router(params, x, 1)  # g: full softmax [B, T, E]
+    ref = np.zeros((b, t, 16), np.float64)
+    for bb in range(b):
+        for e in range(experts):
+            order = np.argsort(-g[bb, :, e], kind="stable")[:C]
+            for tok in order:
+                ref[bb, tok] += g[bb, tok, e] * _expert_ffn(
+                    params, e, np.asarray(x[bb, tok], np.float64)
+                )
+    np.testing.assert_allclose(y, ref, atol=1e-5)
+
+
+def test_expert_choice_perfect_balance():
+    """With T*E scores and capacity C, every expert emits exactly C
+    nonzero combine slots per row — balance by construction, no aux."""
+    mod, params, x = _init_moe_ec(experts=4, cf=1.0, t=8, b=2)
+    y, coll = mod.apply({"params": params}, x, True, None, mutable=["moe"])
+    assert not jax.tree_util.tree_leaves(coll.get("moe", {})), (
+        "expert_choice must not sow a balance auxiliary"
+    )
+    # rig the router so all mass points at expert 0: balance unchanged
+    p = _rig_router(params)
+    y2 = _apply_ec(mod, p, x)
+    assert np.isfinite(np.asarray(y2)).all()
+
+
+def test_expert_choice_never_picks_padding():
+    """Masked tokens lose to every valid token in each expert's top-C and
+    contribute/receive nothing."""
+    b, t = 1, 6
+    mod, params, x = _init_moe_ec(experts=2, cf=0.5, t=t, b=b)
+    # C = ceil(6*2*0.5/2) = 3 < number of valid tokens (4)
+    pad_mask = jnp.asarray([[1, 0, 1, 1, 0, 1]], jnp.float32)
+    y = _apply_ec(mod, params, x, pad_mask)
+    np.testing.assert_allclose(y[0, 1], 0.0, atol=1e-6)
+    np.testing.assert_allclose(y[0, 4], 0.0, atol=1e-6)
+    # valid tokens: each expert picked 3 of the 4, all from valid set
+    g, _, _ = _router(params, x, 1)
+    for e in range(2):
+        masked = np.where(np.asarray(pad_mask[0]) > 0, g[0, :, e], -1.0)
+        picked = set(np.argsort(-masked, kind="stable")[:3])
+        assert picked <= {0, 2, 3, 5}
+
+
+def test_expert_choice_glu_model_trains(tmp_path):
+    """encoder.moe.router: expert_choice trains under dp4xtp2 with glu
+    experts; the loss dict's moe_aux_loss is exactly 0 (nothing sown)."""
+    cfg = _moe_glu_model_config()
+    d = cfg.to_dict()
+    d["encoder"]["moe"]["router"] = "expert_choice"
+    cfg = Config(d)
+    cpus = jax.devices("cpu")
+    mesh = make_mesh(cpus[:8], model=2)
+    model = get_model_class(cfg.type).create_model(cfg)
+    training = Config({
+        "num_epoch": 1, "exp_dir": str(tmp_path / "ec"),
+        "print_inteval": 1000, "accumulate_grad_batch": 1,
+        "init_lr": 1e-3, "optimtype": "adam", "grad_max_norm": 5.0,
+        "label_smooth": 0.1, "lambda_ctc": 0.5,
+        "lr_scheduler": {"type": "warmup_transformer", "warmup_step": 20,
+                         "d_model": 32},
+    })
+    solver = get_solver_class(cfg.type)(model, training, [], [], mesh=mesh)
+    arrays = shard_batch(array_fields(_make_batch()), mesh)
+    _, _, loss, losses = solver._train_step(
+        model.params, solver.opt_state, arrays, jax.random.PRNGKey(9)
+    )
+    assert np.isfinite(float(loss))
+    assert float(losses["moe_aux_loss"]) == 0.0
+
+
+def test_unknown_router_rejected():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, 4, 8))
+    mod = MoEFeedForward(8, 16, num_experts=2, router_type="soft")
+    with pytest.raises(ValueError, match="router"):
+        mod.init({"params": rng}, x)
+
+    from openasr_tpu.config import validate_config
+
+    with pytest.raises(ValueError, match="router"):
+        validate_config({
+            "model": {
+                "type": "conv-ctc-transformer",
+                "encoder": {"input_dim": 20, "d_model": 32, "nhead": 2,
+                            "dim_feedforward": 64, "num_layers": 2,
+                            "activation": "glu",
+                            "moe": {"num_experts": 4, "router": "soft"}},
+            }
+        })
