@@ -173,11 +173,16 @@ _KNOWN_KEYS: dict = {
     "model.assigner": {"type", "d_model", "n_layers", "w_context", "dropout"},
     "model.cpc": {"d_input", "d_coding", "n_layers", "n_steps"},
 }
+# the Embed_Decoder_CTC stack lives under 'decoder' and may carry moe;
+# give the nested block the same schema so typos warn there too
+_KNOWN_KEYS["model.decoder.moe"] = _KNOWN_KEYS["model.encoder.moe"]
 # G/D reuse the encoder/decoder schemas
 _KNOWN_KEYS["model.G"] = {"encoder", "decoder"}
 _KNOWN_KEYS["model.D"] = {"encoder"}
 _KNOWN_KEYS["model.G.encoder"] = _KNOWN_KEYS["model.encoder"]
 _KNOWN_KEYS["model.G.decoder"] = _KNOWN_KEYS["model.decoder"]
+_KNOWN_KEYS["model.G.encoder.moe"] = _KNOWN_KEYS["model.encoder.moe"]
+_KNOWN_KEYS["model.G.decoder.moe"] = _KNOWN_KEYS["model.encoder.moe"]
 # the discriminator front is a strided-conv stack, not a transformer
 _KNOWN_KEYS["model.D.encoder"] = {"d_input", "d_model", "layer_num"}
 
@@ -203,6 +208,9 @@ def validate_moe(model_cfg: Mapping) -> None:
         ("encoder", model_cfg.get("encoder")),
         ("decoder", model_cfg.get("decoder")),
         ("G.encoder", (model_cfg.get("G") or {}).get("encoder")),
+        # the GAN generator is an EmbedDecoderCTC: its 'decoder' section
+        # builds a TransformerEncoder, so moe there must be policed too
+        ("G.decoder", (model_cfg.get("G") or {}).get("decoder")),
     )
     for section, enc in sections:
         enc = enc if isinstance(enc, Mapping) else {}

@@ -243,6 +243,10 @@ class Framework:
             ("encoder", cfg.get("encoder")),
             ("decoder", cfg.get("decoder")),
             ("G.encoder", (cfg.get("G") or {}).get("encoder")),
+            # the GAN generator IS an EmbedDecoderCTC module: its
+            # 'decoder' section builds a TransformerEncoder, so moe
+            # there would create routers whose aux no GAN loss collects
+            ("G.decoder", (cfg.get("G") or {}).get("decoder")),
         ):
             moe = ((sub or {}) if isinstance(sub, dict) else {}).get("moe") or {}
             if int(moe.get("num_experts", 0) or 0) > 0:

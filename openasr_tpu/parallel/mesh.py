@@ -316,9 +316,9 @@ def _moe_entries(
     e: list = [None] * ndim
     # shard experts only when E divides the data axis (fewer experts than
     # chips keeps the tables replicated — dispatch still works, each chip
-    # just holds every expert).  A mismatch (E % data != 0) is loud at
-    # config load (config.validate_config) and at solver init
-    # (solvers/__init__.py) — here we only pick the layout.
+    # just holds every expert).  The mismatch (E % data != 0) is warned
+    # at solver init (solvers/__init__.py, logging.warning — config load
+    # cannot know the mesh); here we only pick the layout.
     if ep_size > 1 and ndim >= 1 and shape and shape[0] % ep_size == 0:
         e[0] = DATA_AXIS
     if tp:

@@ -269,6 +269,7 @@ def export_streaming_step(
         "kind": "streaming_step",
         "model_type": getattr(model, "model_type", ""),
         "chunk": rec.chunk,
+        "phase": int(rec.phase),
         "left_chunks": rec.left,
         "offline": bool(rec.offline),
         "feat_dim": int(rec.feat_dim),
@@ -329,13 +330,20 @@ class ExportedStreamer:
             raise ValueError(
                 f"chunk shape {list(chunk.shape)} != exported {expected}"
             )
+        if b not in self._fns:
+            raise ValueError(
+                f"no exported program for batch_size={b}; available: "
+                f"{self.batch_sizes} (pad your streams up to a bucket)"
+            )
         if chunk_lens is None:
             chunk_lens = np.full((b,), chunk.shape[1], np.int32)
-        # same loud PE-capacity bound as StreamingRecognizer.step —
+        # same loud PE-capacity bound as StreamingRecognizer.step
+        # (streaming.py — incl. its `- phase` warm-up-slot credit) —
         # silent positional clamping on long streams would break the
         # exact-vs-batch contract
         cur = int(np.asarray(state["chunk_idx"]))
-        if (cur + 1) * self.chunk > int(self.meta["max_frames"]):
+        phase = int(self.meta.get("phase", 1))
+        if (cur + 1) * self.chunk - phase > int(self.meta["max_frames"]):
             raise ValueError(
                 f"stream exceeds exported positional-encoding capacity "
                 f"(max_frames={self.meta['max_frames']}); re-export with "

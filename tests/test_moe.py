@@ -837,3 +837,47 @@ def test_unknown_router_rejected():
                             "moe": {"num_experts": 4, "router": "soft"}},
             }
         })
+
+
+def test_gan_generator_decoder_moe_rejected():
+    """Review finding (round 4): the GAN generator IS an EmbedDecoderCTC
+    module — G.decoder builds a TransformerEncoder, so moe there would
+    create routers whose aux no GAN loss collects.  Both guards fire."""
+    from openasr_tpu.config import validate_config
+
+    gan = {
+        "type": "gan_phone2char",
+        "G": {"encoder": {"vocab_size": 16, "d_model": 16},
+              "decoder": {"vocab_size": 8, "d_model": 16, "nhead": 2,
+                          "num_layers": 1, "dim_feedforward": 32,
+                          "activation": "relu", "dropout_rate": 0.0,
+                          "moe": {"num_experts": 4, "top_k": 2}}},
+        "D": {"encoder": {"d_input": 8, "d_model": 16, "layer_num": 1}},
+    }
+    with pytest.raises(ValueError, match="moe"):
+        get_model_class("gan_phone2char").create_model(Config(gan))
+    with pytest.raises(ValueError, match="not supported"):
+        validate_config({"model": gan})
+
+
+def test_moe_typo_warns_in_decoder_section(caplog):
+    """model.decoder.moe shares the encoder.moe schema: a typo inside it
+    gets the same did-you-mean warning as under encoder.moe."""
+    import logging
+
+    from openasr_tpu.config import validate_config
+
+    cfg = {
+        "model": {
+            "type": "Embed_Decoder_CTC",
+            "encoder": {"vocab_size": 16, "d_model": 32},
+            "decoder": {"vocab_size": 8, "d_model": 32, "nhead": 2,
+                        "num_layers": 1, "dim_feedforward": 64,
+                        "activation": "glu", "dropout_rate": 0.0,
+                        "moe": {"num_experts": 4, "every": 1, "topk": 4}},
+        }
+    }
+    with caplog.at_level(logging.WARNING):
+        unknown = validate_config(cfg)
+    assert "model.decoder.moe.topk" in unknown
+    assert any("top_k" in r.message for r in caplog.records)

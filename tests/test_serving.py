@@ -266,3 +266,26 @@ def test_export_decode_cli_streaming(tmp_path):
     chunk = np.random.RandomState(0).randn(2, 16, 20).astype(np.float32)
     state, tick = s.step(model.params, state, chunk)
     assert np.asarray(tick["enc"]).shape[0] == 2
+
+
+def test_exported_streamer_step_rejects_unknown_bucket(tmp_path):
+    """step() on a batch size with no exported program gives the same
+    actionable error as init_state, not a bare KeyError."""
+    import numpy as np
+    import pytest
+
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.serving import ExportedStreamer, export_streaming_step
+
+    from test_streaming import _speech_cfg
+
+    cfg = _speech_cfg({"chunk": 4, "left_chunks": 2}, online=False)
+    model = get_model_class(cfg.type).create_model(cfg)
+    path = str(tmp_path / "stream.zip")
+    export_streaming_step(model, batch_sizes=[2], path=path,
+                          platforms=("cpu",))
+    s = ExportedStreamer(path)
+    state = s.init_state(2)
+    chunk4 = np.zeros((4, 16, 20), np.float32)
+    with pytest.raises(ValueError, match="batch_size"):
+        s.step(model.params, state, chunk4)
