@@ -497,6 +497,45 @@ def bench_decode_rtf(dtype=None) -> float:
     return ((time.time() - t0) / n) / (b * t * 0.01)
 
 
+def bench_ctc_beam_device():
+    """On-device batched CTC prefix beam (ops/ctc_beam_device.py) vs the
+    host NumPy oracle on identical log-probs: (device_s, host_s) per
+    batch of 8x10s utterances, encoder included only in the log-prob
+    prep (both consume the same [B, T', V] array)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openasr_tpu.ops.ctc_beam_device import ctc_prefix_beam_device
+    from openasr_tpu.ops.prefix_beam import make_decoder
+
+    b, t_enc, v, beam = 8, 250, VOCAB, 10  # 10 s post-x4-subsample
+    rng = np.random.RandomState(0)
+    logits = rng.randn(b, t_enc, v).astype(np.float32)
+    lp = jnp.asarray(
+        jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    )
+    lens = jnp.full((b,), t_enc, jnp.int32)
+
+    out = ctc_prefix_beam_device(lp, lens, blank=v - 1, beam=beam)
+    jax.block_until_ready(out)  # compile
+    n = 2 if FAST else 5
+    t0 = time.time()
+    for _ in range(n):
+        out = ctc_prefix_beam_device(lp, lens, blank=v - 1, beam=beam)
+    jax.block_until_ready(out)
+    device_s = (time.time() - t0) / n
+
+    # honest host baseline: the native C++ decoder when built (the best
+    # host path infer.py uses), NumPy fallback otherwise; includes the
+    # device->host log-prob fetch, as the real host path pays it
+    t0 = time.time()
+    host_lp = np.asarray(lp)
+    dec = make_decoder(beam_width=beam, blank_id=v - 1)
+    dec.decode_batch(host_lp, np.asarray(lens))
+    host_s = time.time() - t0
+    return device_s, host_s
+
+
 def main():
     t_start = time.time()
     budget = float(os.environ.get("BENCH_BUDGET_SECS", "1500"))
@@ -594,6 +633,14 @@ def main():
                     detail["wide_d1024_mfu_pct"] = round(
                         100.0 * wide_tflops_s / peak, 1
                     )
+    if (
+        os.environ.get("BENCH_CTC_BEAM", "1") == "1"
+        and within_budget("ctc_beam")
+    ):
+        dev_s, host_s = bench_ctc_beam_device()
+        detail["ctc_beam_device_batch_s"] = round(dev_s, 4)
+        detail["ctc_beam_host_batch_s"] = round(host_s, 4)
+        detail["ctc_beam_device_speedup"] = round(host_s / max(dev_s, 1e-9), 1)
     # Headline: the device-lane number.  Host wall-clock over-reports
     # severalfold through the axon relay (see README); the profiler's
     # device time is the honest per-chip throughput.  Wall-clock medians

@@ -45,6 +45,11 @@ def get_args(argv=None):
                         help="json manifests carry precomputed features")
     parser.add_argument("--add_blk", action="store_true", default=False)
     parser.add_argument("--split_token", action="store_true", default=False)
+    parser.add_argument("--ctc_beam_device", action="store_true",
+                        default=False,
+                        help="run the CTC prefix beam ON the accelerator "
+                             "(jitted batched search) instead of the host "
+                             "C++/NumPy decoder")
     parser.add_argument("--ctc_beam", type=int, default=0,
                         help="use CTC prefix beam search with this width "
                              "(conv-ctc only; 0 = greedy)")
@@ -147,12 +152,28 @@ def main(argv=None):
         logging.info("Shallow fusion with %s (weight %.2f)",
                      args.lm_pkg, args.lm_weight)
     ctc_decoder = None
+    ctc_beam_device_fn = None
     if is_ctc and args.ctc_beam > 0:
-        from openasr_tpu.ops.prefix_beam import make_decoder
+        if args.ctc_beam_device:
+            # whole-batch prefix beam ON the accelerator: no [B, T, V]
+            # log-prob transfer to host, no per-utterance loop
+            # (ops/ctc_beam_device.py, oracle-parity tested)
+            from functools import partial
 
-        ctc_decoder = make_decoder(
-            beam_width=args.ctc_beam, blank_id=tokenizer.unit_num() - 1
-        )
+            from openasr_tpu.ops.ctc_beam_device import (
+                ctc_prefix_beam_device,
+            )
+
+            ctc_beam_device_fn = partial(
+                ctc_prefix_beam_device,
+                blank=tokenizer.unit_num() - 1, beam=args.ctc_beam,
+            )
+        else:
+            from openasr_tpu.ops.prefix_beam import make_decoder
+
+            ctc_decoder = make_decoder(
+                beam_width=args.ctc_beam, blank_id=tokenizer.unit_num() - 1
+            )
 
     # Decode functions are jit-wrapped ONCE; jax.jit then caches one
     # executable per (quantized) input-shape bucket — the collate's
@@ -194,7 +215,16 @@ def main(argv=None):
         bucket = tuple(np.shape(inputs))
         t_batch = time.time()
         if is_ctc:
-            if ctc_decoder is not None:
+            if ctc_beam_device_fn is not None:
+                log_probs, len_logits = logits_fn(model.params, inputs, lengths)
+                toks, tlens, sc = ctc_beam_device_fn(log_probs, len_logits)
+                toks, tlens, sc = (
+                    np.asarray(toks), np.asarray(tlens), np.asarray(sc)
+                )
+                preds = [toks[i] for i in range(len(utts))]
+                lens = [tlens[i] for i in range(len(utts))]
+                scores = [sc[i] for i in range(len(utts))]
+            elif ctc_decoder is not None:
                 log_probs, len_logits = logits_fn(model.params, inputs, lengths)
                 log_probs = np.asarray(log_probs)
                 nbest = ctc_decoder.decode_batch(

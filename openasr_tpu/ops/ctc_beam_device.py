@@ -1,0 +1,191 @@
+"""CTC prefix beam search ON DEVICE: one jitted, batched, static-shape
+program (beyond-reference — the reference shells out to the external
+`ctcdecode` C++ pip, src/utils.py:246-253; this repo's host paths are
+ops/prefix_beam.py + native/ctc_decoder).
+
+Why a device version: the host decoders force a [B, T, V] log-prob
+transfer off the chip and run a per-utterance Python/C++ loop; this one
+keeps decoding where the log-probs already live and runs the whole batch
+in parallel — the decode analogue of the jitted attention beam search
+(ops/beam_search.py).
+
+Design — the Hannun et al. (2014) recursion as dense algebra:
+
+  * A beam's prefix is identified by a ROLLING HASH (uint32,
+    h' = h * 1000003 + c + 1) instead of a token tuple; the token
+    storage [N, T] rides alongside for reconstruction.  Distinct live
+    beams have distinct prefixes, so per-step merging reduces to ONE
+    collision class: an extension `parent + c` colliding with another
+    beam's stay-as-is candidate (prefix equality ⇒ hash equality; a
+    spurious uint32 collision between different prefixes is ~2^-32 per
+    pair per step and would only mis-merge probability mass).
+  * Each step builds N stay candidates and N×V extension candidates,
+    folds colliding extensions into their stay's non-blank mass with a
+    masked logsumexp over the [N, V, N] hash-match table, and prunes
+    with ONE top_k over the N + N×V totals.  No sorting, no dicts, no
+    data-dependent shapes — everything is einsum/where/top_k on the MXU
+    and VPU.
+  * The time loop is a `lax.scan` over frames; frames past an
+    utterance's length pass state through unchanged, so one compiled
+    program serves every padded batch.
+
+Matches the host oracle's semantics exactly: same frame-candidate
+cutoffs (top-n + logp floor, blank always kept), same blank/repeat
+split, same n-best ordering by log(p_b + p_nb).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)  # -inf surrogate: keeps logaddexp NaN-free
+_HASH_MULT = jnp.uint32(1000003)
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    out = m + jnp.log1p(jnp.exp(-jnp.abs(a - b)))
+    return jnp.where(jnp.minimum(a, b) <= NEG_INF / 2, m, out)
+
+
+def _step(state, frame_and_valid, *, blank: int, beam: int,
+          cutoff_top_n: int, cutoff_logp: float):
+    toks, lens, last, h, pb, pnb = state
+    frame, valid_t = frame_and_valid
+    n, t_cap = toks.shape
+    v = frame.shape[0]
+
+    # ---- frame candidate cutoff (oracle: top-n by logp, floor, + blank)
+    top_n = min(cutoff_top_n, v)
+    thresh = jax.lax.top_k(frame, top_n)[0][-1]
+    cand = (frame >= jnp.maximum(thresh, cutoff_logp))
+    cand = cand.at[blank].set(True)  # blank always a candidate
+
+    ptot = _logaddexp(pb, pnb)
+
+    # ---- stay candidates (one per beam): blank after anything keeps the
+    # prefix; a repeat of the last char extends its non-blank mass
+    stay_pb = jnp.where(cand[blank], ptot + frame[blank], NEG_INF)
+    last_lp = jnp.where(
+        (last >= 0) & cand[jnp.clip(last, 0, v - 1)],
+        frame[jnp.clip(last, 0, v - 1)], NEG_INF,
+    )
+    stay_pnb = pnb + last_lp
+
+    # ---- extension candidates [N, V]: prefix + c (c != blank).  A char
+    # equal to the beam's last char can only extend from the
+    # blank-terminated mass (otherwise it merges into the repeat above).
+    base = jnp.where(
+        jnp.arange(v)[None, :] == last[:, None], pb[:, None], ptot[:, None]
+    )
+    p_ext = base + frame[None, :]
+    ext_ok = cand[None, :] & (jnp.arange(v)[None, :] != blank)
+    p_ext = jnp.where(ext_ok, p_ext, NEG_INF)
+    h_ext = h[:, None] * _HASH_MULT + jnp.arange(v, dtype=jnp.uint32)[None, :] + 1
+
+    # ---- merge extensions that recreate an existing beam's prefix into
+    # that beam's stay candidate (the only possible collision class).
+    # Dead beams (probability ~NEG_INF — the initial sentinel slots)
+    # must never absorb mass: without the `live` gate a hash collision
+    # with a sentinel would silently fold a real extension into a
+    # zero-token beam.
+    live = ptot > NEG_INF / 2
+    match = (h_ext[:, :, None] == h[None, None, :]) & (
+        p_ext[:, :, None] > NEG_INF / 2
+    ) & live[None, None, :]  # [N, V, N]
+    contrib = jnp.where(match, p_ext[:, :, None], NEG_INF)
+    merged_mass = jax.nn.logsumexp(
+        contrib.reshape(n * v, n), axis=0, b=None
+    )  # [N]: mass folding into each stay
+    stay_pnb = _logaddexp(stay_pnb, jnp.maximum(merged_mass, NEG_INF))
+    p_ext = jnp.where(jnp.any(match, axis=2), NEG_INF, p_ext)
+
+    # ---- prune: one top_k over N stays + N*V extensions
+    stay_tot = _logaddexp(stay_pb, stay_pnb)
+    ext_tot = p_ext  # extensions have no blank-terminated mass yet
+    totals = jnp.concatenate([stay_tot, ext_tot.reshape(-1)])
+    _, sel = jax.lax.top_k(totals, beam)  # [beam] indices into pool
+
+    is_stay = sel < n
+    parent = jnp.where(is_stay, sel, (sel - n) // v)
+    ext_c = jnp.where(is_stay, -1, (sel - n) % v)
+
+    new_toks = toks[parent]
+    append = jax.nn.one_hot(lens[parent], t_cap, dtype=jnp.bool_) & (
+        ~is_stay[:, None]
+    )
+    new_toks = jnp.where(append, ext_c[:, None], new_toks)
+    new_lens = lens[parent] + (~is_stay).astype(jnp.int32)
+    new_last = jnp.where(is_stay, last[parent], ext_c)
+    new_h = jnp.where(
+        is_stay, h[parent],
+        h[parent] * _HASH_MULT + ext_c.astype(jnp.uint32) + 1,
+    )
+    new_pb = jnp.where(is_stay, stay_pb[parent], NEG_INF)
+    new_pnb = jnp.where(is_stay, stay_pnb[parent], p_ext[parent, ext_c])
+
+    # frames past the utterance end leave the state untouched
+    def keep(new, old):
+        return jnp.where(valid_t, new, old) if new.ndim == 1 else jnp.where(
+            jnp.broadcast_to(valid_t, new.shape), new, old
+        )
+
+    out = (
+        keep(new_toks, toks), keep(new_lens, lens), keep(new_last, last),
+        keep(new_h, h), keep(new_pb, pb), keep(new_pnb, pnb),
+    )
+    return out, None
+
+
+def _decode_one(log_probs, length, *, blank, beam, cutoff_top_n,
+                cutoff_logp):
+    t_max, v = log_probs.shape
+    toks = jnp.zeros((beam, t_max), jnp.int32)
+    lens = jnp.zeros((beam,), jnp.int32)
+    last = jnp.full((beam,), -1, jnp.int32)
+    # invalid initial beams get unique sentinel hashes (top bit set: a
+    # rolling hash of a real prefix starting from 0 collides with them
+    # only modulo 2^32) so they never merge with anything that matters —
+    # their probability mass is NEG_INF anyway
+    h = (jnp.uint32(0x80000000) + jnp.arange(beam, dtype=jnp.uint32)).at[0].set(
+        jnp.uint32(0)
+    )
+    pb = jnp.full((beam,), NEG_INF).at[0].set(0.0)
+    pnb = jnp.full((beam,), NEG_INF)
+
+    valid = jnp.arange(t_max) < length
+    step = partial(_step, blank=blank, beam=beam,
+                   cutoff_top_n=cutoff_top_n, cutoff_logp=cutoff_logp)
+    (toks, lens, last, h, pb, pnb), _ = jax.lax.scan(
+        step, (toks, lens, last, h, pb, pnb), (log_probs, valid)
+    )
+    total = _logaddexp(pb, pnb)
+    order = jnp.argsort(-total)
+    return toks[order], lens[order], total[order]
+
+
+@partial(jax.jit, static_argnames=("blank", "beam", "cutoff_top_n",
+                                   "cutoff_logp"))
+def ctc_prefix_beam_device(
+    log_probs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    blank: int,
+    beam: int = 10,
+    cutoff_top_n: int = 40,
+    cutoff_logp: float = -20.0,
+):
+    """Batched device prefix beam search.
+
+    log_probs [B, T, V] (log-softmax over the vocab, blank at `blank`),
+    lengths [B].  Returns (tokens [B, beam, T] int32, lens [B, beam],
+    scores [B, beam] = log(p_b + p_nb)), n-best ordered.  One compiled
+    program per (T, V, beam) shape — feed the quantized buckets the data
+    pipeline already emits."""
+    fn = partial(_decode_one, blank=int(blank), beam=int(beam),
+                 cutoff_top_n=int(cutoff_top_n),
+                 cutoff_logp=float(cutoff_logp))
+    return jax.vmap(fn)(log_probs.astype(jnp.float32),
+                        lengths.astype(jnp.int32))

@@ -1,0 +1,197 @@
+"""On-device CTC prefix beam search (ops/ctc_beam_device.py) vs the
+host NumPy oracle (ops/prefix_beam.py) — the same oracle the native C++
+decoder is pinned against, closing the triangle: python == C++ == TPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from openasr_tpu.ops.ctc_beam_device import ctc_prefix_beam_device
+from openasr_tpu.ops.prefix_beam import CTCPrefixBeamDecoder
+
+
+def _random_log_probs(b, t, v, seed=0, peaky=0.0):
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(b, t, v).astype(np.float32) * (1.0 + peaky)
+    if peaky:
+        # sharpen toward a random symbol per frame so prefixes separate
+        idx = rng.randint(0, v, (b, t))
+        logits[np.arange(b)[:, None], np.arange(t)[None, :], idx] += 4.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    return lp.astype(np.float32)
+
+
+def _oracle_nbest(lp, lengths, blank, beam, **kw):
+    dec = CTCPrefixBeamDecoder(beam_width=beam, blank_id=blank, **kw)
+    out = []
+    for i in range(lp.shape[0]):
+        hyps = dec.decode(np.asarray(lp[i], np.float64), int(lengths[i]))
+        out.append([(h.tokens, h.score) for h in hyps])
+    return out
+
+
+def _device_nbest(lp, lengths, blank, beam, **kw):
+    toks, lens, scores = ctc_prefix_beam_device(
+        lp, np.asarray(lengths, np.int32), blank=blank, beam=beam, **kw
+    )
+    toks, lens, scores = map(np.asarray, (toks, lens, scores))
+    out = []
+    for i in range(lp.shape[0]):
+        out.append([
+            (tuple(int(c) for c in toks[i, n, : lens[i, n]]),
+             float(scores[i, n]))
+            for n in range(toks.shape[1])
+        ])
+    return out
+
+
+@pytest.mark.parametrize("peaky", [0.0, 1.0])
+def test_device_matches_oracle_nbest(peaky):
+    """Same n-best prefixes with matching scores on random log-probs,
+    uniform and peaked, blank at V-1 (the repo's CTC convention)."""
+    b, t, v, beam = 3, 24, 12, 6
+    lp = _random_log_probs(b, t, v, seed=int(peaky * 10) + 1, peaky=peaky)
+    lengths = np.asarray([24, 17, 9], np.int32)
+    blank = v - 1
+    ora = _oracle_nbest(lp, lengths, blank, beam)
+    dev = _device_nbest(lp, lengths, blank, beam)
+    for i in range(b):
+        ora_map = dict(ora[i])
+        dev_map = dict(dev[i])
+        # every device hypothesis must be an oracle hypothesis with the
+        # same score; compare as score maps to be robust to equal-score
+        # ordering ties
+        assert set(dev_map) == set(ora_map), (
+            f"utt {i}: prefixes differ\n{sorted(dev_map)}\n{sorted(ora_map)}"
+        )
+        for prefix, score in dev_map.items():
+            assert np.isclose(score, ora_map[prefix], atol=2e-3), (
+                i, prefix, score, ora_map[prefix]
+            )
+        # and the 1-best agrees outright
+        assert dev[i][0][0] == ora[i][0][0]
+
+
+def test_device_matches_oracle_with_cutoffs():
+    """The frame-candidate cutoffs (top-n + logp floor) replicate the
+    oracle's pruning semantics."""
+    b, t, v, beam = 2, 20, 30, 5
+    lp = _random_log_probs(b, t, v, seed=7, peaky=0.5)
+    lengths = np.asarray([20, 13], np.int32)
+    blank = v - 1
+    kw = {"cutoff_top_n": 8, "cutoff_logp": -8.0}
+    ora = _oracle_nbest(lp, lengths, blank, beam, **kw)
+    dev = _device_nbest(lp, lengths, blank, beam, **kw)
+    for i in range(b):
+        assert dev[i][0][0] == ora[i][0][0]
+        assert np.isclose(dev[i][0][1], ora[i][0][1], atol=2e-3)
+
+
+def test_peaked_logits_equal_greedy_collapse():
+    """With near-one-hot frames the 1-best is the greedy collapse
+    (dedupe repeats, drop blanks)."""
+    v, blank = 8, 7
+    seq = [1, 1, blank, 2, 2, 2, blank, blank, 3, 1, 1]
+    t = len(seq)
+    lp = np.full((1, t, v), -15.0, np.float32)
+    for i, c in enumerate(seq):
+        lp[0, i, c] = 0.0
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    dev = _device_nbest(lp, np.asarray([t]), blank, beam=4)
+    assert dev[0][0][0] == (1, 2, 3, 1)
+
+
+def test_lengths_truncate_decoding():
+    """Frames past `length` must not influence the result."""
+    b, t, v, beam = 1, 16, 10, 4
+    lp = _random_log_probs(b, t, v, seed=3, peaky=1.0)
+    short = 9
+    dev_full_pad = _device_nbest(lp, np.asarray([short]), v - 1, beam)
+    dev_trunc = _device_nbest(
+        np.ascontiguousarray(lp[:, :short]), np.asarray([short]), v - 1, beam
+    )
+    assert dev_full_pad[0][0][0] == dev_trunc[0][0][0]
+    assert np.isclose(dev_full_pad[0][0][1], dev_trunc[0][0][1], atol=1e-4)
+
+
+def test_jit_cache_and_batch_shapes():
+    """One compile serves the batch; lengths vary per row."""
+    v, beam = 10, 4
+    lp = _random_log_probs(4, 12, v, seed=5, peaky=1.0)
+    lengths = np.asarray([12, 10, 7, 3], np.int32)
+    toks, lens, scores = ctc_prefix_beam_device(
+        lp, lengths, blank=v - 1, beam=beam
+    )
+    assert toks.shape == (4, beam, 12)
+    assert np.all(np.asarray(lens) <= lengths[:, None])
+    s = np.asarray(scores)
+    assert np.all(np.diff(s, axis=1) <= 1e-6)  # n-best ordered
+
+
+def test_infer_cli_device_beam_matches_host(tmp_path):
+    """infer.py --ctc_beam --ctc_beam_device writes the same hypotheses
+    as the host prefix-beam path on a real (untrained) conv-ctc model."""
+    import json
+    import os
+
+    from openasr_tpu.bin.infer import main as infer_main
+    from openasr_tpu.config import Config
+    from openasr_tpu.data import kaldi_io
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.utils.checkpoint import save_package
+
+    units = ["a", "b", "c", "d"]
+    (tmp_path / "vocab.txt").write_text("\n".join(units) + "\n")
+    rng = np.random.RandomState(0)
+    mats, samples = [], []
+    for i in range(4):
+        t = int(rng.randint(20, 40))
+        key = f"utt{i:02d}"
+        mats.append((key, (rng.randn(t, 20) * 0.5).astype(np.float32)))
+        samples.append({"uttid": key, "feat_length": t, "tokens": "a b",
+                        "token_length": 2})
+    prefix = str(tmp_path / "feats")
+    kaldi_io.write_ark_scp(prefix, mats)
+    scp = dict(l.strip().split(" ", 1) for l in open(prefix + ".scp"))
+    for s in samples:
+        s["feat"] = scp[s["uttid"]]
+    (tmp_path / "test.json").write_text(json.dumps(samples))
+
+    cfg = Config({
+        "type": "conv-ctc", "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "decoder": {"vocab_size": 8},  # 3 specials + 4 chars + blk
+    })
+    model = get_model_class("conv-ctc").create_model(cfg)
+    save_package({"model": model.package()}, str(tmp_path / "last.pkg"))
+
+    common = [
+        "--model_type", "conv-ctc",
+        "--model_pkg", str(tmp_path / "last.pkg"),
+        "--vocab_path", str(tmp_path / "vocab.txt"),
+        "--json_file", str(tmp_path / "test.json"),
+        "--batch_frames", "500",
+        "--offline", "--add_blk", "--split_token",
+        "--ctc_beam", "4",
+    ]
+    host_out = str(tmp_path / "hyp_host.txt")
+    dev_out = str(tmp_path / "hyp_dev.txt")
+    infer_main(common + ["--output", host_out])
+    infer_main(common + ["--output", dev_out, "--ctc_beam_device"])
+
+    host = dict(
+        l.split(" ", 1) if " " in l else (l, "")
+        for l in open(host_out).read().strip().split("\n")
+    )
+    dev = dict(
+        l.split(" ", 1) if " " in l else (l, "")
+        for l in open(dev_out).read().strip().split("\n")
+    )
+    assert host == dev and len(host) == 4
