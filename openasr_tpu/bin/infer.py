@@ -135,13 +135,16 @@ def main(argv=None):
 
     lm = None
     if args.lm_pkg and args.lm_weight != 0.0:
-        if is_ctc:
-            # the CTC paths (greedy / prefix beam) have no fusion hook —
-            # fail loudly instead of logging fusion and silently not
-            # applying it
+        if is_ctc and not (args.ctc_beam > 0 and args.ctc_beam_device):
+            # the host CTC paths (greedy / C++ prefix beam) have no
+            # fusion hook — fail loudly instead of logging fusion and
+            # silently not applying it.  The DEVICE prefix beam fuses
+            # (ops/ctc_beam_device.py).
             raise SystemExit(
-                "--lm_pkg shallow fusion is only supported for attention "
-                "beam decoding; CTC model types decode without an LM"
+                "--lm_pkg shallow fusion with a CTC model needs the "
+                "on-device prefix beam: add --ctc_beam N "
+                "--ctc_beam_device (the host CTC decoders have no "
+                "fusion hook)"
             )
         lm_pkg = load_package(args.lm_pkg)
         lm_model_pkg = lm_pkg["model"] if "model" in lm_pkg else lm_pkg
@@ -168,6 +171,26 @@ def main(argv=None):
                 ctc_prefix_beam_device,
                 blank=tokenizer.unit_num() - 1, beam=args.ctc_beam,
             )
+            if lm is not None:
+                from openasr_tpu.models.lm import make_lm_fusion
+
+                # ONE step closure for every batch (it is a static jit
+                # arg — a fresh closure per batch would retrace); only
+                # the zero LM cache is rebuilt per bucket size
+                lm_step_fn, _ = make_lm_fusion(lm, lm.params, 1)
+
+                def ctc_beam_device_fn(log_probs, len_logits,
+                                       _beam=args.ctc_beam,
+                                       _w=args.lm_weight):
+                    _, init_cache = make_lm_fusion(
+                        lm, lm.params, int(log_probs.shape[0]) * _beam
+                    )
+                    return ctc_prefix_beam_device(
+                        log_probs, len_logits,
+                        blank=tokenizer.unit_num() - 1, beam=_beam,
+                        lm_step_fn=lm_step_fn, init_lm_cache=init_cache,
+                        lm_weight=_w,
+                    )
         else:
             from openasr_tpu.ops.prefix_beam import make_decoder
 

@@ -52,8 +52,9 @@ def _logaddexp(a, b):
 
 
 def _step(state, frame_and_valid, *, blank: int, beam: int,
-          cutoff_top_n: int, cutoff_logp: float):
-    toks, lens, last, h, pb, pnb = state
+          cutoff_top_n: int, cutoff_logp: float,
+          lm_step_fn=None, lm_weight: float = 0.0):
+    toks, lens, last, h, pb, pnb, lm_cache, lm_logp = state
     frame, valid_t = frame_and_valid
     n, t_cap = toks.shape
     v = frame.shape[0]
@@ -82,6 +83,17 @@ def _step(state, frame_and_valid, *, blank: int, beam: int,
         jnp.arange(v)[None, :] == last[:, None], pb[:, None], ptot[:, None]
     )
     p_ext = base + frame[None, :]
+    if lm_step_fn is not None and lm_weight != 0.0:
+        # shallow fusion: a NEW token pays lm_weight * log p_lm(c|prefix)
+        # exactly once, at extension time — the blank/repeat transitions
+        # add no token and no LM mass, and merging stays consistent
+        # because equal prefixes have equal accumulated LM scores
+        v_lm = lm_logp.shape[1]
+        fuse = jnp.full((n, v), NEG_INF)
+        fuse = fuse.at[:, : min(v, v_lm)].set(
+            lm_logp[:, : min(v, v_lm)].astype(jnp.float32)
+        )
+        p_ext = p_ext + lm_weight * fuse
     ext_ok = cand[None, :] & (jnp.arange(v)[None, :] != blank)
     p_ext = jnp.where(ext_ok, p_ext, NEG_INF)
     h_ext = h[:, None] * _HASH_MULT + jnp.arange(v, dtype=jnp.uint32)[None, :] + 1
@@ -129,19 +141,49 @@ def _step(state, frame_and_valid, *, blank: int, beam: int,
 
     # frames past the utterance end leave the state untouched
     def keep(new, old):
-        return jnp.where(valid_t, new, old) if new.ndim == 1 else jnp.where(
-            jnp.broadcast_to(valid_t, new.shape), new, old
+        return jnp.where(
+            jnp.broadcast_to(
+                valid_t.reshape((1,) * new.ndim), new.shape
+            ),
+            new, old,
         )
+
+    if lm_step_fn is not None and lm_weight != 0.0:
+        # advance the LM only for extended beams: run one LM step from
+        # the parent's cache with the appended token, keep the parent's
+        # state for stays
+        parent_cache = jax.tree_util.tree_map(lambda x: x[parent], lm_cache)
+        parent_logp = lm_logp[parent]
+        adv_logp, adv_cache = lm_step_fn(
+            jnp.clip(ext_c, 0, None), parent_cache
+        )
+        new_lm_cache = jax.tree_util.tree_map(
+            lambda a, p: jnp.where(
+                jnp.broadcast_to(
+                    is_stay.reshape((-1,) + (1,) * (a.ndim - 1)), a.shape
+                ),
+                p, a,
+            ),
+            adv_cache, parent_cache,
+        )
+        new_lm_logp = jnp.where(is_stay[:, None], parent_logp, adv_logp)
+        new_lm_cache = jax.tree_util.tree_map(
+            lambda nw, old: keep(nw, old), new_lm_cache, lm_cache
+        )
+        new_lm_logp = keep(new_lm_logp, lm_logp)
+    else:
+        new_lm_cache, new_lm_logp = lm_cache, lm_logp
 
     out = (
         keep(new_toks, toks), keep(new_lens, lens), keep(new_last, last),
         keep(new_h, h), keep(new_pb, pb), keep(new_pnb, pnb),
+        new_lm_cache, new_lm_logp,
     )
     return out, None
 
 
-def _decode_one(log_probs, length, *, blank, beam, cutoff_top_n,
-                cutoff_logp):
+def _decode_one(log_probs, length, lm_cache0, lm_logp0, *, blank, beam,
+                cutoff_top_n, cutoff_logp, lm_step_fn, lm_weight):
     t_max, v = log_probs.shape
     toks = jnp.zeros((beam, t_max), jnp.int32)
     lens = jnp.zeros((beam,), jnp.int32)
@@ -158,9 +200,11 @@ def _decode_one(log_probs, length, *, blank, beam, cutoff_top_n,
 
     valid = jnp.arange(t_max) < length
     step = partial(_step, blank=blank, beam=beam,
-                   cutoff_top_n=cutoff_top_n, cutoff_logp=cutoff_logp)
-    (toks, lens, last, h, pb, pnb), _ = jax.lax.scan(
-        step, (toks, lens, last, h, pb, pnb), (log_probs, valid)
+                   cutoff_top_n=cutoff_top_n, cutoff_logp=cutoff_logp,
+                   lm_step_fn=lm_step_fn, lm_weight=lm_weight)
+    (toks, lens, last, h, pb, pnb, _, _), _ = jax.lax.scan(
+        step, (toks, lens, last, h, pb, pnb, lm_cache0, lm_logp0),
+        (log_probs, valid),
     )
     total = _logaddexp(pb, pnb)
     order = jnp.argsort(-total)
@@ -168,7 +212,8 @@ def _decode_one(log_probs, length, *, blank, beam, cutoff_top_n,
 
 
 @partial(jax.jit, static_argnames=("blank", "beam", "cutoff_top_n",
-                                   "cutoff_logp"))
+                                   "cutoff_logp", "lm_step_fn",
+                                   "lm_weight", "sos_id"))
 def ctc_prefix_beam_device(
     log_probs: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -176,16 +221,45 @@ def ctc_prefix_beam_device(
     beam: int = 10,
     cutoff_top_n: int = 40,
     cutoff_logp: float = -20.0,
+    lm_step_fn=None,
+    init_lm_cache=None,
+    lm_weight: float = 0.0,
+    sos_id: int = 1,
 ):
-    """Batched device prefix beam search.
+    """Batched device prefix beam search, optionally with LSTM-LM
+    shallow fusion.
 
     log_probs [B, T, V] (log-softmax over the vocab, blank at `blank`),
     lengths [B].  Returns (tokens [B, beam, T] int32, lens [B, beam],
     scores [B, beam] = log(p_b + p_nb)), n-best ordered.  One compiled
     program per (T, V, beam) shape — feed the quantized buckets the data
-    pipeline already emits."""
+    pipeline already emits.
+
+    Fusion (same conventions as ops/beam_search.py): lm_step_fn
+    (tokens [N], cache) -> (log_probs [N, V_lm], cache) scored from
+    <sos>; `init_lm_cache` leaves lead with B*beam rows (the
+    make_lm_fusion layout).  Every appended token pays
+    lm_weight * log p_lm(c | prefix) exactly once; blanks and repeat
+    collapses add no LM mass, so scores are
+    log p_am + lm_weight * log p_lm like the attention decoder's."""
+    b = log_probs.shape[0]
+    use_lm = lm_step_fn is not None and lm_weight != 0.0
+    if use_lm:
+        # p_lm(first | <sos>) seeds every beam's next-token distribution
+        sos = jnp.full((b * beam,), sos_id, jnp.int32)
+        logp0, cache0 = lm_step_fn(sos, init_lm_cache)
+        lm_logp0 = logp0.reshape(b, beam, -1)
+        lm_cache0 = jax.tree_util.tree_map(
+            lambda x: x.reshape((b, beam) + x.shape[1:]), cache0
+        )
+    else:
+        # zero-size placeholders keep the scan carry structure static
+        lm_logp0 = jnp.zeros((b, beam, 0), jnp.float32)
+        lm_cache0 = ()
     fn = partial(_decode_one, blank=int(blank), beam=int(beam),
                  cutoff_top_n=int(cutoff_top_n),
-                 cutoff_logp=float(cutoff_logp))
+                 cutoff_logp=float(cutoff_logp),
+                 lm_step_fn=lm_step_fn if use_lm else None,
+                 lm_weight=float(lm_weight))
     return jax.vmap(fn)(log_probs.astype(jnp.float32),
-                        lengths.astype(jnp.int32))
+                        lengths.astype(jnp.int32), lm_cache0, lm_logp0)

@@ -195,3 +195,169 @@ def test_infer_cli_device_beam_matches_host(tmp_path):
         for l in open(dev_out).read().strip().split("\n")
     )
     assert host == dev and len(host) == 4
+
+
+def test_device_lm_fusion_matches_python_oracle():
+    """LSTM-LM shallow fusion: every appended token pays
+    lm_weight*log p_lm(c|prefix) exactly once; verified against a
+    from-scratch python beam oracle that re-runs the LM per prefix."""
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.models.lm import LSTMLM, make_lm_fusion
+
+    v, blank, beam, b, t = 8, 7, 4, 2, 12
+    lm = get_model_class("lstm_lm").create_model(Config({
+        "vocab_size": v - 1, "d_model": 16, "n_layers": 1,
+        "dropout_rate": 0.0,
+    }))
+    lm_weight = 0.5
+    sos = 1
+
+    lp = _random_log_probs(b, t, v, seed=11, peaky=1.0)
+    lengths = np.asarray([t, t - 3], np.int32)
+
+    lm_step_fn, init_cache = make_lm_fusion(lm, lm.params, b * beam)
+    toks, lens, scores = ctc_prefix_beam_device(
+        lp, lengths, blank=blank, beam=beam, lm_step_fn=lm_step_fn,
+        init_lm_cache=init_cache, lm_weight=lm_weight, sos_id=sos,
+    )
+    toks, lens, scores = map(np.asarray, (toks, lens, scores))
+
+    # ---- python oracle: host prefix beam with LM scores recomputed
+    # from scratch per prefix
+    import math
+
+    def lm_logp_of(prefix):
+        _, cache = make_lm_fusion(lm, lm.params, 1)
+        logp = None
+        for tok in (sos,) + prefix:
+            logp, cache = lm_step_fn_1(
+                np.asarray([tok], np.int32), cache
+            )
+        return np.asarray(logp)[0]
+
+    lm_step_fn_1, _ = make_lm_fusion(lm, lm.params, 1)
+
+    def log_add(a, b_):
+        if a == -np.inf:
+            return b_
+        if b_ == -np.inf:
+            return a
+        m = max(a, b_)
+        return m + math.log1p(math.exp(-abs(a - b_)))
+
+    for i in range(b):
+        beams = {(): (0.0, -np.inf)}
+        lm_tbl = {(): lm_logp_of(())}
+        for tt in range(int(lengths[i])):
+            frame = lp[i, tt]
+            new = {}
+
+            def acc(prefix, pb=-np.inf, pnb=-np.inf):
+                o = new.get(prefix, (-np.inf, -np.inf))
+                new[prefix] = (log_add(o[0], pb), log_add(o[1], pnb))
+
+            for prefix, (p_b, p_nb) in beams.items():
+                p_tot = log_add(p_b, p_nb)
+                lastc = prefix[-1] if prefix else -1
+                for c in range(v):
+                    f = float(frame[c])
+                    if c == blank:
+                        acc(prefix, pb=p_tot + f)
+                        continue
+                    bonus = lm_weight * float(lm_tbl[prefix][c])
+                    if c == lastc:
+                        acc(prefix, pnb=p_nb + f)
+                        acc(prefix + (c,), pnb=p_b + f + bonus)
+                    else:
+                        acc(prefix + (c,), pnb=p_tot + f + bonus)
+            ranked = sorted(
+                new.items(), key=lambda kv: log_add(*kv[1]), reverse=True
+            )[:beam]
+            beams = dict(ranked)
+            for prefix in beams:
+                if prefix not in lm_tbl:
+                    lm_tbl[prefix] = lm_logp_of(prefix)
+
+        ora = sorted(
+            ((p, log_add(*s)) for p, s in beams.items()),
+            key=lambda kv: kv[1], reverse=True,
+        )
+        dev_top = tuple(int(c) for c in toks[i, 0, : lens[i, 0]])
+        assert dev_top == ora[0][0], (i, dev_top, ora[0][0])
+        assert np.isclose(scores[i, 0], ora[0][1], atol=3e-3), (
+            i, scores[i, 0], ora[0][1]
+        )
+
+
+def test_infer_cli_ctc_lm_fusion(tmp_path):
+    """--lm_pkg with a CTC model: rejected for host paths, applied on
+    the device beam (fusion changes at least the scores; output format
+    intact)."""
+    import json
+
+    from openasr_tpu.bin.infer import main as infer_main
+    from openasr_tpu.config import Config
+    from openasr_tpu.data import kaldi_io
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.utils.checkpoint import save_package
+
+    units = ["a", "b", "c", "d"]
+    (tmp_path / "vocab.txt").write_text("\n".join(units) + "\n")
+    rng = np.random.RandomState(1)
+    mats, samples = [], []
+    for i in range(2):
+        t = int(rng.randint(20, 30))
+        key = f"utt{i:02d}"
+        mats.append((key, (rng.randn(t, 20) * 0.5).astype(np.float32)))
+        samples.append({"uttid": key, "feat_length": t, "tokens": "a",
+                        "token_length": 1})
+    prefix = str(tmp_path / "feats")
+    kaldi_io.write_ark_scp(prefix, mats)
+    scp = dict(l.strip().split(" ", 1) for l in open(prefix + ".scp"))
+    for s in samples:
+        s["feat"] = scp[s["uttid"]]
+    (tmp_path / "test.json").write_text(json.dumps(samples))
+
+    cfg = Config({
+        "type": "conv-ctc", "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "decoder": {"vocab_size": 8},
+    })
+    model = get_model_class("conv-ctc").create_model(cfg)
+    save_package({"model": model.package()}, str(tmp_path / "last.pkg"))
+
+    lm = get_model_class("lstm_lm").create_model(Config({
+        "vocab_size": 7, "d_model": 16, "n_layers": 1,
+        "dropout_rate": 0.0,
+    }))
+    save_package({"model": lm.package()}, str(tmp_path / "lm.pkg"))
+
+    common = [
+        "--model_type", "conv-ctc",
+        "--model_pkg", str(tmp_path / "last.pkg"),
+        "--vocab_path", str(tmp_path / "vocab.txt"),
+        "--json_file", str(tmp_path / "test.json"),
+        "--batch_frames", "500",
+        "--offline", "--add_blk", "--split_token",
+        "--lm_pkg", str(tmp_path / "lm.pkg"), "--lm_weight", "0.5",
+    ]
+
+    # host paths refuse fusion loudly
+    with pytest.raises(SystemExit, match="ctc_beam_device"):
+        infer_main(common + ["--output", str(tmp_path / "x.txt"),
+                             "--ctc_beam", "4"])
+
+    # device beam fuses and writes well-formed output
+    out = str(tmp_path / "hyp_lm.txt")
+    infer_main(common + ["--output", out, "--ctc_beam", "4",
+                         "--ctc_beam_device"])
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 2
+    for line in lines:
+        assert line.split(" ", 1)[0].startswith("utt")
