@@ -38,13 +38,17 @@ def export_beam_decode(
     platforms: Sequence[str] = ("tpu", "cpu"),
     weights: str = "float32",
     compute: str = "float32",
+    ctc_device_beam: bool = False,
 ) -> None:
     """Export the model's decode path for each (batch, frames) bucket.
 
     Attention/CIF models export the KV-cached beam search
     (`batch_beam_decode` -> preds/lens/scores); pure-CTC models export
     greedy decode plus log-probs (`kind: "ctc"` -> ids/lens and
-    log_probs/len_logits for a host-side prefix-beam rescore).
+    log_probs/len_logits for a host-side prefix-beam rescore), or — with
+    `ctc_device_beam=True` — the jitted on-device prefix beam
+    (ops/ctc_beam_device.py; `kind: "ctc_beam"` -> n-best
+    tokens/lens/scores like the attention kind, no host decode at all).
 
     Params stay an INPUT of the exported function (weight-independent
     artifact: push new checkpoints without re-exporting).
@@ -70,7 +74,21 @@ def export_beam_decode(
     def prep(params):
         return quant.dequantize_params(params) if int8 else params
 
-    if is_ctc:
+    if is_ctc and ctc_device_beam:
+        from openasr_tpu.ops.ctc_beam_device import ctc_prefix_beam_device
+
+        vocab = int(model.configs.decoder["vocab_size"])
+
+        def decode(qparams, feats, lens):
+            params = prep(qparams)
+            logits, len_logits = model.get_logits(params, feats, lens)
+            log_probs = jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1
+            )
+            return ctc_prefix_beam_device(
+                log_probs, len_logits, blank=vocab - 1, beam=beam_size
+            )
+    elif is_ctc:
         def decode(qparams, feats, lens):
             params = prep(qparams)
             ids, id_lens = model.greedy_decode(params, feats, lens)
@@ -106,7 +124,10 @@ def export_beam_decode(
 
     meta = {
         "model_type": getattr(model, "model_type", ""),
-        "kind": "ctc" if is_ctc else "beam",
+        "kind": (
+            ("ctc_beam" if ctc_device_beam else "ctc")
+            if is_ctc else "beam"
+        ),
         "beam_size": int(beam_size),
         "max_decode_len": int(max_decode_len),
         "input_dim": input_dim,
@@ -167,7 +188,9 @@ class ExportedDecoder:
 
         kind 'beam' -> (preds [B, beam, U], lens [B, beam],
         scores [B, beam]); kind 'ctc' -> (ids [B, T'], id_lens [B],
-        log_probs [B, T', V], len_logits [B])."""
+        log_probs [B, T', V], len_logits [B]); kind 'ctc_beam' ->
+        (tokens [B, beam, T'], lens [B, beam], scores [B, beam]) —
+        the on-device prefix beam's n-best, no host decode."""
         feats = np.asarray(feats, np.float32)
         lens = np.asarray(lens, np.int32)
         b, t, d = feats.shape

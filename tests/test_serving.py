@@ -289,3 +289,45 @@ def test_exported_streamer_step_rejects_unknown_bucket(tmp_path):
     chunk4 = np.zeros((4, 16, 20), np.float32)
     with pytest.raises(ValueError, match="batch_size"):
         s.step(model.params, state, chunk4)
+
+
+def test_export_ctc_device_beam_kind(tmp_path):
+    """ctc_device_beam=True exports the on-device prefix beam (kind
+    'ctc_beam'): the artifact's n-best equals the live
+    ctc_prefix_beam_device over the model's own log-probs."""
+    import jax.numpy as jnp
+
+    from openasr_tpu.ops.ctc_beam_device import ctc_prefix_beam_device
+    from openasr_tpu.serving import export_beam_decode as _export
+
+    cfg = Config({
+        "type": "conv-ctc",
+        "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "decoder": {"vocab_size": 12},
+    })
+    model = get_model_class("conv-ctc").create_model(cfg)
+    path = str(tmp_path / "ctc_beam.aot")
+    _export(model, buckets=[(2, 32)], path=path, beam_size=3,
+            platforms=("cpu",), ctc_device_beam=True)
+    dec = ExportedDecoder(path)
+    assert dec.meta["kind"] == "ctc_beam"
+
+    rng = np.random.RandomState(0)
+    feats = rng.randn(2, 32, 20).astype(np.float32)
+    lens = np.array([32, 20], np.int32)
+    toks, tlens, scores = dec(model.params, feats, lens)
+
+    logits, len_logits = model.get_logits(model.params, feats, lens)
+    lp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+    ref_t, ref_l, ref_s = ctc_prefix_beam_device(
+        lp, len_logits, blank=11, beam=3
+    )
+    np.testing.assert_array_equal(toks, np.asarray(ref_t))
+    np.testing.assert_array_equal(tlens, np.asarray(ref_l))
+    np.testing.assert_allclose(scores, np.asarray(ref_s), rtol=1e-5)

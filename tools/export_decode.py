@@ -52,6 +52,10 @@ def main(argv=None):
                    help="compute dtype baked into the exported program; "
                         "bfloat16 doubles MXU throughput on the decode "
                         "matmuls (beam scoring stays float32)")
+    p.add_argument("--ctc_device_beam", action="store_true", default=False,
+                   help="CTC models: export the on-device prefix beam "
+                        "(kind 'ctc_beam' — n-best entirely on device) "
+                        "instead of greedy + log-probs for host rescore")
     p.add_argument("--streaming", action="store_true", default=False,
                    help="export the streaming tick (ExportedStreamer) "
                         "instead of batch beam decode")
@@ -100,6 +104,7 @@ def main(argv=None):
         platforms=tuple(args.platforms.split(",")),
         weights="int8" if args.int8 else "float32",
         compute=args.compute_dtype,
+        ctc_device_beam=args.ctc_device_beam,
     )
     print(f"exported {len(buckets)} buckets -> {args.out}")
 
