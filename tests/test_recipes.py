@@ -66,3 +66,31 @@ def test_recipe_cpu_smoke(corpus, train, infer, tmp_path):
         assert hyp_lines, "decode produced no hypotheses"
         assert (exp / "score.txt").exists(), "eval_result.sh wrote no report"
         assert "SYSTEM SUMMARY" in open(exp / "score.txt").read()
+
+
+def test_recipe_cpu_smoke_moe(tmp_path):
+    """The MoE mini-config trains through the real recipe path
+    (train_cpu.sh with an explicit config) — router, glu experts, and
+    the aux loss all through the CLI, matching the user workflow of
+    egs/aishell1/configs/conv-ctc-transformer-moe.yaml."""
+    if FAST:
+        pytest.skip("OPENASR_RECIPES_FAST=1")
+    workdir, result = run_recipe(
+        "aishell1", "train_cpu.sh", tmp_path,
+        args=("configs/conv-ctc-transformer-moe_test.yaml",),
+    )
+    exp = workdir / "exp" / "conv-ctc-transformer-moe-test"
+    assert (exp / "last.pkg").exists()
+    # the checkpoint carries the expert tables (glu: incl. w_gate)
+    import jax
+
+    from openasr_tpu.utils.checkpoint import load_package
+
+    pkg = load_package(str(exp / "last.pkg"))
+    flat = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(
+            pkg["model"]["components"]
+        )[0]
+    }
+    assert any("moe_ffn" in k and "w_gate" in k for k in flat), flat
