@@ -331,3 +331,42 @@ def test_export_ctc_device_beam_kind(tmp_path):
     np.testing.assert_array_equal(toks, np.asarray(ref_t))
     np.testing.assert_array_equal(tlens, np.asarray(ref_l))
     np.testing.assert_allclose(scores, np.asarray(ref_s), rtol=1e-5)
+
+
+def test_export_streaming_step_roundtrip_online(tmp_path):
+    """The ONLINE (wave -> fbank) streaming tick exports too: the state
+    carries the wave/feature caches and the AOT program reproduces the
+    live executor on raw audio chunks."""
+    import numpy as np
+
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.serving import ExportedStreamer, export_streaming_step
+    from openasr_tpu.streaming import StreamingRecognizer
+
+    from test_streaming import _speech_cfg
+
+    cfg = _speech_cfg({"chunk": 4, "left_chunks": 2}, online=True)
+    model = get_model_class(cfg.type).create_model(cfg)
+    path = str(tmp_path / "stream_online.zip")
+    export_streaming_step(model, batch_sizes=[2], path=path,
+                          platforms=("cpu",))
+
+    streamer = ExportedStreamer(path)
+    rec = StreamingRecognizer(model)
+    assert not streamer.meta["offline"]
+    n = streamer.meta["chunk_input"][0]  # chunk_samples
+
+    state_live = rec.init_state(2)
+    state_aot = streamer.init_state(2)
+    rng = np.random.RandomState(2)
+    for _ in range(2):
+        chunk = (rng.randn(2, n) * 0.1).astype(np.float32)
+        state_live, out_live = rec.step(state_live, chunk)
+        state_aot, out_aot = streamer.step(model.params, state_aot, chunk)
+        np.testing.assert_allclose(
+            np.asarray(out_aot["enc"]), np.asarray(out_live["enc"]),
+            atol=2e-5,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_aot["valid"]), np.asarray(out_live["valid"])
+        )
