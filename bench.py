@@ -527,10 +527,12 @@ def bench_ctc_beam_device():
 
     # honest host baseline: the native C++ decoder when built (the best
     # host path infer.py uses), NumPy fallback otherwise; includes the
-    # device->host log-prob fetch, as the real host path pays it
+    # device->host log-prob fetch (the real host path pays it per batch)
+    # but NOT decoder construction / shared-library load (paid once per
+    # serving process)
+    dec = make_decoder(beam_width=beam, blank_id=v - 1)
     t0 = time.time()
     host_lp = np.asarray(lp)
-    dec = make_decoder(beam_width=beam, blank_id=v - 1)
     dec.decode_batch(host_lp, np.asarray(lens))
     host_s = time.time() - t0
     return device_s, host_s

@@ -8,7 +8,7 @@ pkg=${2:-avg10.pkg}
 python -m openasr_tpu.bin.infer \
     --model_type conv-transformer \
     --model_pkg $exp_dir/$pkg \
-    --vocab_path data/hkust_train_chars.txt \
+    --vocab_path data/vocab.char \
     --json_file data/test.json \
     --output $exp_dir/decode_test/hyp.txt \
     --batch_frames 8000 \

@@ -76,6 +76,18 @@ def main(argv=None):
     args = get_args(argv)
     t_start = time.time()
 
+    is_ctc_type = args.model_type.lower().replace("-", "_") in (
+        "conv_ctc", "gru_ctc", "wav2vec_ctc"
+    )
+    if args.ctc_beam_device and not (is_ctc_type and args.ctc_beam > 0):
+        # fail loudly before any loading — silently greedy-decoding
+        # would have the user benchmark/score the wrong decoder
+        raise SystemExit(
+            "--ctc_beam_device needs a CTC model type AND --ctc_beam N "
+            "> 0 (it selects the on-device prefix beam; without "
+            "--ctc_beam the run would silently fall back to greedy)"
+        )
+
     tokenizer = CharTokenizer(args.vocab_path, add_blk=args.add_blk)
     pkg = load_package(args.model_pkg)
     model_pkg = pkg["model"] if "model" in pkg else pkg
@@ -172,24 +184,35 @@ def main(argv=None):
                 blank=tokenizer.unit_num() - 1, beam=args.ctc_beam,
             )
             if lm is not None:
-                from openasr_tpu.models.lm import make_lm_fusion
+                from openasr_tpu.models.lm import LSTMLM
 
                 # ONE step closure for every batch (it is a static jit
-                # arg — a fresh closure per batch would retrace); only
-                # the zero LM cache is rebuilt per bucket size
-                lm_step_fn, _ = make_lm_fusion(lm, lm.params, 1)
+                # arg — a fresh closure per batch would retrace), and it
+                # closes over the MODULE only: the weights ride as a
+                # traced jit argument, one shared device copy instead of
+                # constants baked into every shape-bucket executable
+                # (same rule as the attention beam_fn below)
+                lm_module = lm.module
+
+                def lm_step_fn(lm_p, tokens, cache):
+                    return lm_module.apply(
+                        {"params": lm_p}, tokens, cache,
+                        method=LSTMLM.step,
+                    )
 
                 def ctc_beam_device_fn(log_probs, len_logits,
                                        _beam=args.ctc_beam,
                                        _w=args.lm_weight):
-                    _, init_cache = make_lm_fusion(
-                        lm, lm.params, int(log_probs.shape[0]) * _beam
+                    bb = int(log_probs.shape[0]) * _beam
+                    init_cache = lm_module.apply(
+                        {"params": lm.params}, bb,
+                        method=LSTMLM.init_carries,
                     )
                     return ctc_prefix_beam_device(
                         log_probs, len_logits,
                         blank=tokenizer.unit_num() - 1, beam=_beam,
                         lm_step_fn=lm_step_fn, init_lm_cache=init_cache,
-                        lm_weight=_w,
+                        lm_weight=_w, lm_params=lm.params,
                     )
         else:
             from openasr_tpu.ops.prefix_beam import make_decoder
@@ -244,9 +267,13 @@ def main(argv=None):
                 toks, tlens, sc = (
                     np.asarray(toks), np.asarray(tlens), np.asarray(sc)
                 )
-                preds = [toks[i] for i in range(len(utts))]
-                lens = [tlens[i] for i in range(len(utts))]
-                scores = [sc[i] for i in range(len(utts))]
+                # drop never-populated sentinel rows (score ~-1e30:
+                # fewer live prefixes than the beam width) — the host
+                # decoders never emit such hypotheses
+                live = sc > -1e29
+                preds = [toks[i][live[i]] for i in range(len(utts))]
+                lens = [tlens[i][live[i]] for i in range(len(utts))]
+                scores = [sc[i][live[i]] for i in range(len(utts))]
             elif ctc_decoder is not None:
                 log_probs, len_logits = logits_fn(model.params, inputs, lengths)
                 log_probs = np.asarray(log_probs)

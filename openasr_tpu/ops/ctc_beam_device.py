@@ -59,17 +59,24 @@ def _step(state, frame_and_valid, *, blank: int, beam: int,
     n, t_cap = toks.shape
     v = frame.shape[0]
 
-    # ---- frame candidate cutoff (oracle: top-n by logp, floor, + blank)
+    # ---- frame candidate cutoff (oracle: top-n by logp, floor, + blank).
+    # EXACTLY top_n symbols via top_k's index scatter (deterministic
+    # lowest-index tie-break) — a >=-threshold mask would admit every
+    # value tied AT the threshold and expand a different candidate set
+    # than the host decoders on tied log-probs
     top_n = min(cutoff_top_n, v)
-    thresh = jax.lax.top_k(frame, top_n)[0][-1]
-    cand = (frame >= jnp.maximum(thresh, cutoff_logp))
+    top_vals, top_idx = jax.lax.top_k(frame, top_n)
+    cand = jnp.zeros((v,), jnp.bool_).at[top_idx].set(
+        top_vals >= cutoff_logp
+    )
     cand = cand.at[blank].set(True)  # blank always a candidate
 
     ptot = _logaddexp(pb, pnb)
 
     # ---- stay candidates (one per beam): blank after anything keeps the
-    # prefix; a repeat of the last char extends its non-blank mass
-    stay_pb = jnp.where(cand[blank], ptot + frame[blank], NEG_INF)
+    # prefix (blank is unconditionally a candidate, see above); a repeat
+    # of the last char extends its non-blank mass
+    stay_pb = ptot + frame[blank]
     last_lp = jnp.where(
         (last >= 0) & cand[jnp.clip(last, 0, v - 1)],
         frame[jnp.clip(last, 0, v - 1)], NEG_INF,
@@ -225,6 +232,7 @@ def ctc_prefix_beam_device(
     init_lm_cache=None,
     lm_weight: float = 0.0,
     sos_id: int = 1,
+    lm_params=None,
 ):
     """Batched device prefix beam search, optionally with LSTM-LM
     shallow fusion.
@@ -233,7 +241,10 @@ def ctc_prefix_beam_device(
     lengths [B].  Returns (tokens [B, beam, T] int32, lens [B, beam],
     scores [B, beam] = log(p_b + p_nb)), n-best ordered.  One compiled
     program per (T, V, beam) shape — feed the quantized buckets the data
-    pipeline already emits.
+    pipeline already emits.  When fewer than `beam` live prefixes exist
+    (tiny vocab, aggressive cutoffs) the tail rows are never-populated
+    sentinels with score ~-1e30; filter on `scores > -1e29` like
+    infer.py does — the host decoders never emit such rows.
 
     Fusion (same conventions as ops/beam_search.py): lm_step_fn
     (tokens [N], cache) -> (log_probs [N, V_lm], cache) scored from
@@ -241,13 +252,23 @@ def ctc_prefix_beam_device(
     make_lm_fusion layout).  Every appended token pays
     lm_weight * log p_lm(c | prefix) exactly once; blanks and repeat
     collapses add no LM mass, so scores are
-    log p_am + lm_weight * log p_lm like the attention decoder's."""
+    log p_am + lm_weight * log p_lm like the attention decoder's.
+
+    `lm_params`: optional pytree passed through to lm_step_fn as
+    (lm_params, tokens, cache) — the step closure should close over the
+    LM MODULE only, so the weights ride as ONE traced jit argument
+    instead of being constant-folded into every shape-bucket executable
+    (same rule as infer.py's attention path)."""
     b = log_probs.shape[0]
     use_lm = lm_step_fn is not None and lm_weight != 0.0
+    if use_lm and lm_params is not None:
+        bound_lm_step = partial(lm_step_fn, lm_params)
+    else:
+        bound_lm_step = lm_step_fn
     if use_lm:
         # p_lm(first | <sos>) seeds every beam's next-token distribution
         sos = jnp.full((b * beam,), sos_id, jnp.int32)
-        logp0, cache0 = lm_step_fn(sos, init_lm_cache)
+        logp0, cache0 = bound_lm_step(sos, init_lm_cache)
         lm_logp0 = logp0.reshape(b, beam, -1)
         lm_cache0 = jax.tree_util.tree_map(
             lambda x: x.reshape((b, beam) + x.shape[1:]), cache0
@@ -259,7 +280,7 @@ def ctc_prefix_beam_device(
     fn = partial(_decode_one, blank=int(blank), beam=int(beam),
                  cutoff_top_n=int(cutoff_top_n),
                  cutoff_logp=float(cutoff_logp),
-                 lm_step_fn=lm_step_fn if use_lm else None,
+                 lm_step_fn=bound_lm_step if use_lm else None,
                  lm_weight=float(lm_weight))
     return jax.vmap(fn)(log_probs.astype(jnp.float32),
                         lengths.astype(jnp.int32), lm_cache0, lm_logp0)

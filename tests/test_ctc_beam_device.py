@@ -361,3 +361,54 @@ def test_infer_cli_ctc_lm_fusion(tmp_path):
     assert len(lines) == 2
     for line in lines:
         assert line.split(" ", 1)[0].startswith("utt")
+
+
+def test_sentinel_rows_filtered_in_cli(tmp_path):
+    """Beam wider than the reachable prefix set: the device search pads
+    with ~-1e30 sentinels, and infer.py must drop them like the host
+    decoders do (review finding, round 4)."""
+    v = 6
+    lp = np.full((1, 4, v), -12.0, np.float32)
+    lp[:, :, v - 1] = 0.0  # everything blank: only the empty prefix lives
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    toks, lens, scores = ctc_prefix_beam_device(
+        lp, np.asarray([4], np.int32), blank=v - 1, beam=8,
+        cutoff_logp=-6.0,
+    )
+    s = np.asarray(scores)[0]
+    assert (s <= -1e29).any(), "expected sentinel rows with a dead beam"
+    assert (s > -1e29).any()
+
+
+def test_ctc_beam_device_without_beam_flag_is_loud(tmp_path):
+    from openasr_tpu.bin.infer import main as infer_main
+
+    with pytest.raises(SystemExit, match="ctc_beam"):
+        infer_main([
+            "--model_type", "conv-ctc",
+            "--model_pkg", str(tmp_path / "nonexistent.pkg"),
+            "--vocab_path", str(tmp_path / "v.txt"),
+            "--json_file", str(tmp_path / "t.json"),
+            "--output", str(tmp_path / "o.txt"),
+            "--offline", "--add_blk", "--ctc_beam_device",
+        ])
+
+
+def test_exact_topn_candidates_on_ties():
+    """cutoff_top_n admits EXACTLY n symbols even when log-probs tie at
+    the boundary (top_k index scatter, lowest-index tie-break)."""
+    v = 10
+    lp = np.full((1, 1, v), np.log(1.0 / v), np.float32)  # all tied
+    toks, lens, scores = ctc_prefix_beam_device(
+        lp, np.asarray([1], np.int32), blank=v - 1, beam=4,
+        cutoff_top_n=3, cutoff_logp=-50.0,
+    )
+    # candidates = symbols {0, 1, 2} (+ blank); live prefixes after one
+    # frame: empty, (0,), (1,), (2,) — exactly 4, nothing from index > 2
+    live = np.asarray(scores)[0] > -1e29
+    assert live.sum() == 4
+    firsts = {
+        tuple(np.asarray(toks)[0, n, : np.asarray(lens)[0, n]])
+        for n in range(4) if live[n]
+    }
+    assert firsts == {(), (0,), (1,), (2,)}
