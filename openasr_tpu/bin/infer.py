@@ -45,6 +45,13 @@ def get_args(argv=None):
                         help="json manifests carry precomputed features")
     parser.add_argument("--add_blk", action="store_true", default=False)
     parser.add_argument("--split_token", action="store_true", default=False)
+    parser.add_argument("--context_file", default=None,
+                        help="hotword biasing for --ctc_beam_device: a "
+                             "text file with one phrase per line "
+                             "(tokenized like transcripts); tokens that "
+                             "advance a phrase match get boosted by "
+                             "--context_weight, broken matches roll back")
+    parser.add_argument("--context_weight", type=float, default=2.0)
     parser.add_argument("--ctc_beam_device", action="store_true",
                         default=False,
                         help="run the CTC prefix beam ON the accelerator "
@@ -86,6 +93,11 @@ def main(argv=None):
             "--ctc_beam_device needs a CTC model type AND --ctc_beam N "
             "> 0 (it selects the on-device prefix beam; without "
             "--ctc_beam the run would silently fall back to greedy)"
+        )
+    if args.context_file and not args.ctc_beam_device:
+        raise SystemExit(
+            "--context_file hotword biasing is implemented by the "
+            "on-device prefix beam: add --ctc_beam N --ctc_beam_device"
         )
 
     tokenizer = CharTokenizer(args.vocab_path, add_blk=args.add_blk)
@@ -179,9 +191,33 @@ def main(argv=None):
                 ctc_prefix_beam_device,
             )
 
+            ctx_kw = {}
+            if args.context_file:
+                phrases = [
+                    tokenizer.encode(line)
+                    for line in open(args.context_file, encoding="utf-8")
+                    if line.strip()
+                ]
+                phrases = [p for p in phrases if p]
+                if not phrases:
+                    raise SystemExit(
+                        f"--context_file {args.context_file}: no phrases"
+                    )
+                max_l = max(len(p) for p in phrases)
+                pad = np.full((len(phrases), max_l), -1, np.int32)
+                for i, p in enumerate(phrases):
+                    pad[i, : len(p)] = p
+                ctx_kw = {"context_phrases": pad,
+                          "context_weight": args.context_weight}
+                logging.info(
+                    "hotword biasing: %d phrases, weight %.2f",
+                    len(phrases), args.context_weight,
+                )
+
             ctc_beam_device_fn = partial(
                 ctc_prefix_beam_device,
                 blank=tokenizer.unit_num() - 1, beam=args.ctc_beam,
+                **ctx_kw,
             )
             if lm is not None:
                 from openasr_tpu.models.lm import LSTMLM
@@ -212,7 +248,7 @@ def main(argv=None):
                         log_probs, len_logits,
                         blank=tokenizer.unit_num() - 1, beam=_beam,
                         lm_step_fn=lm_step_fn, init_lm_cache=init_cache,
-                        lm_weight=_w, lm_params=lm.params,
+                        lm_weight=_w, lm_params=lm.params, **ctx_kw,
                     )
         else:
             from openasr_tpu.ops.prefix_beam import make_decoder

@@ -53,11 +53,13 @@ def _logaddexp(a, b):
 
 def _step(state, frame_and_valid, *, blank: int, beam: int,
           cutoff_top_n: int, cutoff_logp: float,
-          lm_step_fn=None, lm_weight: float = 0.0):
-    toks, lens, last, h, pb, pnb, lm_cache, lm_logp = state
+          lm_step_fn=None, lm_weight: float = 0.0,
+          ctx_phrases=None, ctx_weight: float = 0.0):
+    toks, lens, last, h, pb, pnb, lm_cache, lm_logp, cmatch = state
     frame, valid_t = frame_and_valid
     n, t_cap = toks.shape
     v = frame.shape[0]
+    use_ctx = ctx_phrases is not None and ctx_weight != 0.0
 
     # ---- frame candidate cutoff (oracle: top-n by logp, floor, + blank).
     # EXACTLY top_n symbols via top_k's index scatter (deterministic
@@ -101,6 +103,27 @@ def _step(state, frame_and_valid, *, blank: int, beam: int,
             lm_logp[:, : min(v, v_lm)].astype(jnp.float32)
         )
         p_ext = p_ext + lm_weight * fuse
+    if use_ctx:
+        # contextual biasing (hotword boosting): each token that ADVANCES
+        # a context phrase's partial match earns +ctx_weight; breaking a
+        # partial match ROLLS BACK the accumulated boost (-ctx_weight *
+        # matched_len, or 1-matched_len when the breaking char restarts
+        # the phrase); a completed phrase keeps its boost.  Aho-Corasick
+        # failure links are approximated by restart-at-0 (the standard
+        # lightweight biasing used by production CTC decoders).  Merging
+        # stays consistent: the match state is a pure function of the
+        # prefix, so equal prefixes carry equal accumulated boosts.
+        P, L = ctx_phrases.shape
+        next_tok = jnp.take_along_axis(
+            ctx_phrases[None, :, :].repeat(n, axis=0),
+            jnp.clip(cmatch, 0, L - 1)[:, :, None], axis=2,
+        )[:, :, 0]  # [N, P]: the token that would advance phrase p
+        sym = jnp.arange(v)[None, :, None]
+        adv = next_tok[:, None, :] == sym  # [N, V, P]
+        restart = ctx_phrases[:, 0][None, None, :] == sym  # [1, V, P]
+        m = cmatch[:, None, :].astype(jnp.float32)
+        delta = jnp.where(adv, 1.0, jnp.where(restart, 1.0 - m, -m))
+        p_ext = p_ext + ctx_weight * jnp.sum(delta, axis=2)
     ext_ok = cand[None, :] & (jnp.arange(v)[None, :] != blank)
     p_ext = jnp.where(ext_ok, p_ext, NEG_INF)
     h_ext = h[:, None] * _HASH_MULT + jnp.arange(v, dtype=jnp.uint32)[None, :] + 1
@@ -181,16 +204,36 @@ def _step(state, frame_and_valid, *, blank: int, beam: int,
     else:
         new_lm_cache, new_lm_logp = lm_cache, lm_logp
 
+    if use_ctx:
+        P, L = ctx_phrases.shape
+        plen = jnp.sum(ctx_phrases >= 0, axis=1)  # [P]
+        pmatch = cmatch[parent]  # [N, P]
+        next_sel = jnp.take_along_axis(
+            ctx_phrases[None, :, :].repeat(n, axis=0),
+            jnp.clip(pmatch, 0, L - 1)[:, :, None], axis=2,
+        )[:, :, 0]  # [N, P]
+        adv_sel = next_sel == ext_c[:, None]
+        restart_sel = ctx_phrases[:, 0][None, :] == ext_c[:, None]
+        nm = jnp.where(
+            adv_sel, pmatch + 1, jnp.where(restart_sel, 1, 0)
+        )
+        nm = jnp.where(nm >= plen[None, :], 0, nm)  # completed: keep boost
+        new_cmatch = jnp.where(is_stay[:, None], pmatch, nm)
+        new_cmatch = keep(new_cmatch, cmatch)
+    else:
+        new_cmatch = cmatch
+
     out = (
         keep(new_toks, toks), keep(new_lens, lens), keep(new_last, last),
         keep(new_h, h), keep(new_pb, pb), keep(new_pnb, pnb),
-        new_lm_cache, new_lm_logp,
+        new_lm_cache, new_lm_logp, new_cmatch,
     )
     return out, None
 
 
-def _decode_one(log_probs, length, lm_cache0, lm_logp0, *, blank, beam,
-                cutoff_top_n, cutoff_logp, lm_step_fn, lm_weight):
+def _decode_one(log_probs, length, lm_cache0, lm_logp0, cmatch0, *,
+                blank, beam, cutoff_top_n, cutoff_logp, lm_step_fn,
+                lm_weight, ctx_phrases, ctx_weight):
     t_max, v = log_probs.shape
     toks = jnp.zeros((beam, t_max), jnp.int32)
     lens = jnp.zeros((beam,), jnp.int32)
@@ -208,9 +251,11 @@ def _decode_one(log_probs, length, lm_cache0, lm_logp0, *, blank, beam,
     valid = jnp.arange(t_max) < length
     step = partial(_step, blank=blank, beam=beam,
                    cutoff_top_n=cutoff_top_n, cutoff_logp=cutoff_logp,
-                   lm_step_fn=lm_step_fn, lm_weight=lm_weight)
-    (toks, lens, last, h, pb, pnb, _, _), _ = jax.lax.scan(
-        step, (toks, lens, last, h, pb, pnb, lm_cache0, lm_logp0),
+                   lm_step_fn=lm_step_fn, lm_weight=lm_weight,
+                   ctx_phrases=ctx_phrases, ctx_weight=ctx_weight)
+    (toks, lens, last, h, pb, pnb, _, _, _), _ = jax.lax.scan(
+        step,
+        (toks, lens, last, h, pb, pnb, lm_cache0, lm_logp0, cmatch0),
         (log_probs, valid),
     )
     total = _logaddexp(pb, pnb)
@@ -220,7 +265,8 @@ def _decode_one(log_probs, length, lm_cache0, lm_logp0, *, blank, beam,
 
 @partial(jax.jit, static_argnames=("blank", "beam", "cutoff_top_n",
                                    "cutoff_logp", "lm_step_fn",
-                                   "lm_weight", "sos_id"))
+                                   "lm_weight", "sos_id",
+                                   "context_weight"))
 def ctc_prefix_beam_device(
     log_probs: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -233,6 +279,8 @@ def ctc_prefix_beam_device(
     lm_weight: float = 0.0,
     sos_id: int = 1,
     lm_params=None,
+    context_phrases=None,
+    context_weight: float = 0.0,
 ):
     """Batched device prefix beam search, optionally with LSTM-LM
     shallow fusion.
@@ -258,7 +306,14 @@ def ctc_prefix_beam_device(
     (lm_params, tokens, cache) — the step closure should close over the
     LM MODULE only, so the weights ride as ONE traced jit argument
     instead of being constant-folded into every shape-bucket executable
-    (same rule as infer.py's attention path)."""
+    (same rule as infer.py's attention path).
+
+    Contextual biasing (hotword boosting, FlexCTC-style):
+    `context_phrases` [P, L] int32 (token ids, -1 padding) with
+    `context_weight` w — each decoded token that advances a phrase's
+    partial match earns +w, breaking a partial match rolls the
+    accumulated boost back, completing a phrase keeps it.  Composes
+    with LM fusion."""
     b = log_probs.shape[0]
     use_lm = lm_step_fn is not None and lm_weight != 0.0
     if use_lm and lm_params is not None:
@@ -277,10 +332,21 @@ def ctc_prefix_beam_device(
         # zero-size placeholders keep the scan carry structure static
         lm_logp0 = jnp.zeros((b, beam, 0), jnp.float32)
         lm_cache0 = ()
+    use_ctx = context_phrases is not None and context_weight != 0.0
+    if use_ctx:
+        context_phrases = jnp.asarray(context_phrases, jnp.int32)
+        cmatch0 = jnp.zeros(
+            (b, beam, context_phrases.shape[0]), jnp.int32
+        )
+    else:
+        cmatch0 = jnp.zeros((b, beam, 0), jnp.int32)
     fn = partial(_decode_one, blank=int(blank), beam=int(beam),
                  cutoff_top_n=int(cutoff_top_n),
                  cutoff_logp=float(cutoff_logp),
                  lm_step_fn=bound_lm_step if use_lm else None,
-                 lm_weight=float(lm_weight))
+                 lm_weight=float(lm_weight),
+                 ctx_phrases=context_phrases if use_ctx else None,
+                 ctx_weight=float(context_weight))
     return jax.vmap(fn)(log_probs.astype(jnp.float32),
-                        lengths.astype(jnp.int32), lm_cache0, lm_logp0)
+                        lengths.astype(jnp.int32), lm_cache0, lm_logp0,
+                        cmatch0)

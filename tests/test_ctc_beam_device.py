@@ -412,3 +412,186 @@ def test_exact_topn_candidates_on_ties():
         for n in range(4) if live[n]
     }
     assert firsts == {(), (0,), (1,), (2,)}
+
+
+# --------------------------------------------------- contextual biasing
+
+def _bias_oracle(lp, length, blank, beam, phrases, w):
+    """From-scratch python prefix beam with advance/rollback boosting:
+    match state per (prefix, phrase), +w per advanced token, rollback on
+    break (restart counts the breaking char), completed phrases keep
+    their boost and reset."""
+    import math
+
+    def log_add(a, b_):
+        if a == -np.inf:
+            return b_
+        if b_ == -np.inf:
+            return a
+        m = max(a, b_)
+        return m + math.log1p(math.exp(-abs(a - b_)))
+
+    def match_of(prefix):
+        # replay: deterministic function of the prefix
+        m = [0] * len(phrases)
+        bias = 0.0
+        for c in prefix:
+            for p, ph in enumerate(phrases):
+                if m[p] < len(ph) and ph[m[p]] == c:
+                    m[p] += 1
+                    bias += w
+                    if m[p] == len(ph):
+                        m[p] = 0
+                elif ph[0] == c:
+                    bias += w * (1 - m[p])
+                    m[p] = 1
+                else:
+                    bias -= w * m[p]
+                    m[p] = 0
+        return bias
+
+    v = lp.shape[1]
+    beams = {(): (0.0, -np.inf)}
+    for t in range(length):
+        frame = lp[t]
+        new = {}
+
+        def acc(prefix, pb=-np.inf, pnb=-np.inf):
+            o = new.get(prefix, (-np.inf, -np.inf))
+            new[prefix] = (log_add(o[0], pb), log_add(o[1], pnb))
+
+        for prefix, (p_b, p_nb) in beams.items():
+            p_tot = log_add(p_b, p_nb)
+            lastc = prefix[-1] if prefix else -1
+            for c in range(v):
+                f = float(frame[c])
+                if c == blank:
+                    acc(prefix, pb=p_tot + f)
+                    continue
+                d = match_of(prefix + (c,)) - match_of(prefix)
+                if c == lastc:
+                    acc(prefix, pnb=p_nb + f)
+                    acc(prefix + (c,), pnb=p_b + f + d)
+                else:
+                    acc(prefix + (c,), pnb=p_tot + f + d)
+        beams = dict(sorted(
+            new.items(), key=lambda kv: log_add(*kv[1]), reverse=True,
+        )[:beam])
+    return sorted(
+        ((p, log_add(*s)) for p, s in beams.items()),
+        key=lambda kv: kv[1], reverse=True,
+    )
+
+
+def test_context_biasing_matches_oracle():
+    v, blank, beam = 8, 7, 5
+    phrases = [(1, 2, 3), (4, 5)]
+    pad = np.full((2, 3), -1, np.int32)
+    for i, ph in enumerate(phrases):
+        pad[i, : len(ph)] = ph
+    lp = _random_log_probs(2, 10, v, seed=21, peaky=0.5)
+    lengths = np.asarray([10, 7], np.int32)
+    w = 0.8
+    toks, lens, scores = ctc_prefix_beam_device(
+        lp, lengths, blank=blank, beam=beam,
+        context_phrases=pad, context_weight=w,
+    )
+    toks, lens, scores = map(np.asarray, (toks, lens, scores))
+    for i in range(2):
+        ora = _bias_oracle(lp[i], int(lengths[i]), blank, beam, phrases, w)
+        dev_top = tuple(int(c) for c in toks[i, 0, : lens[i, 0]])
+        assert dev_top == ora[0][0], (i, dev_top, ora[0][0])
+        assert np.isclose(scores[i, 0], ora[0][1], atol=3e-3)
+
+
+def test_context_biasing_promotes_hotword():
+    """A phrase slightly below the acoustic argmax wins with boosting on
+    and loses with it off."""
+    v, blank = 6, 5
+    # frames weakly favor token 3, but phrase (1, 2) is close behind
+    lp = np.full((1, 4, v), -8.0, np.float32)
+    lp[0, 0, 3] = -0.4; lp[0, 0, 1] = -0.75
+    lp[0, 1, blank] = -0.1
+    lp[0, 2, 3] = -0.4; lp[0, 2, 2] = -0.75
+    lp[0, 3, blank] = -0.1
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    pad = np.asarray([[1, 2]], np.int32)
+
+    plain = _device_nbest(lp, np.asarray([4]), blank, beam=4)
+    assert plain[0][0][0] == (3, 3)
+
+    toks, lens, _ = ctc_prefix_beam_device(
+        lp, np.asarray([4], np.int32), blank=blank, beam=4,
+        context_phrases=pad, context_weight=1.0,
+    )
+    boosted = tuple(int(c) for c in np.asarray(toks)[0, 0, : np.asarray(lens)[0, 0]])
+    assert boosted == (1, 2)
+
+
+def test_infer_cli_context_biasing(tmp_path):
+    """--context_file boosts a hotword through the real CLI: decode the
+    same (untrained) model with and without biasing and check the flag
+    is honored (guard for the non-device path; biased run completes and
+    yields well-formed output)."""
+    import json
+
+    from openasr_tpu.bin.infer import main as infer_main
+    from openasr_tpu.config import Config
+    from openasr_tpu.data import kaldi_io
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.utils.checkpoint import save_package
+
+    units = ["a", "b", "c", "d"]
+    (tmp_path / "vocab.txt").write_text("\n".join(units) + "\n")
+    (tmp_path / "hotwords.txt").write_text("a b\nc\n")
+    rng = np.random.RandomState(4)
+    mats, samples = [], []
+    for i in range(2):
+        t = int(rng.randint(20, 30))
+        key = f"utt{i:02d}"
+        mats.append((key, (rng.randn(t, 20) * 0.5).astype(np.float32)))
+        samples.append({"uttid": key, "feat_length": t, "tokens": "a",
+                        "token_length": 1})
+    prefix = str(tmp_path / "feats")
+    kaldi_io.write_ark_scp(prefix, mats)
+    scp = dict(l.strip().split(" ", 1) for l in open(prefix + ".scp"))
+    for s in samples:
+        s["feat"] = scp[s["uttid"]]
+    (tmp_path / "test.json").write_text(json.dumps(samples))
+
+    cfg = Config({
+        "type": "conv-ctc", "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "decoder": {"vocab_size": 8},
+    })
+    model = get_model_class("conv-ctc").create_model(cfg)
+    save_package({"model": model.package()}, str(tmp_path / "last.pkg"))
+
+    common = [
+        "--model_type", "conv-ctc",
+        "--model_pkg", str(tmp_path / "last.pkg"),
+        "--vocab_path", str(tmp_path / "vocab.txt"),
+        "--json_file", str(tmp_path / "test.json"),
+        "--batch_frames", "500",
+        "--offline", "--add_blk", "--split_token",
+        "--context_file", str(tmp_path / "hotwords.txt"),
+        "--context_weight", "3.0",
+    ]
+
+    # biasing needs the device beam — loud otherwise
+    with pytest.raises(SystemExit, match="context_file"):
+        infer_main(common + ["--output", str(tmp_path / "x.txt"),
+                             "--ctc_beam", "4"])
+
+    out = str(tmp_path / "hyp_ctx.txt")
+    infer_main(common + ["--output", out, "--ctc_beam", "4",
+                         "--ctc_beam_device"])
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 2
+    for line in lines:
+        assert line.split(" ", 1)[0].startswith("utt")
