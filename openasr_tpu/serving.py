@@ -39,6 +39,8 @@ def export_beam_decode(
     weights: str = "float32",
     compute: str = "float32",
     ctc_device_beam: bool = False,
+    context_phrases=None,
+    context_weight: float = 0.0,
 ) -> None:
     """Export the model's decode path for each (batch, frames) bucket.
 
@@ -78,6 +80,16 @@ def export_beam_decode(
         from openasr_tpu.ops.ctc_beam_device import ctc_prefix_beam_device
 
         vocab = int(model.configs.decoder["vocab_size"])
+        # a deployment's hotword table is fixed per export: bake it into
+        # the program (unlike params, which stay an input)
+        ctx_kw = {}
+        if context_phrases is not None and context_weight != 0.0:
+            ctx_kw = {
+                "context_phrases": jnp.asarray(
+                    context_phrases, jnp.int32
+                ),
+                "context_weight": float(context_weight),
+            }
 
         def decode(qparams, feats, lens):
             params = prep(qparams)
@@ -86,7 +98,8 @@ def export_beam_decode(
                 logits.astype(jnp.float32), axis=-1
             )
             return ctc_prefix_beam_device(
-                log_probs, len_logits, blank=vocab - 1, beam=beam_size
+                log_probs, len_logits, blank=vocab - 1, beam=beam_size,
+                **ctx_kw,
             )
     elif is_ctc:
         def decode(qparams, feats, lens):
@@ -135,6 +148,13 @@ def export_beam_decode(
         "buckets": [[int(b), int(t)] for b, t in buckets],
         "weights": weights,
         "compute": compute,
+        "context_weight": (
+            float(context_weight) if context_phrases is not None else 0.0
+        ),
+        "context_num_phrases": (
+            int(np.shape(context_phrases)[0])
+            if context_phrases is not None else 0
+        ),
     }
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
         zf.writestr("meta.json", json.dumps(meta, indent=1))

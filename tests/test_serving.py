@@ -370,3 +370,49 @@ def test_export_streaming_step_roundtrip_online(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(out_aot["valid"]), np.asarray(out_live["valid"])
         )
+
+
+def test_export_ctc_device_beam_with_biasing(tmp_path):
+    """The hotword table bakes into the exported ctc_beam program: the
+    artifact reproduces the live biased search, and its meta records the
+    biasing config."""
+    import jax.numpy as jnp
+
+    from openasr_tpu.ops.ctc_beam_device import ctc_prefix_beam_device
+    from openasr_tpu.serving import export_beam_decode as _export
+
+    cfg = Config({
+        "type": "conv-ctc",
+        "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "decoder": {"vocab_size": 12},
+    })
+    model = get_model_class("conv-ctc").create_model(cfg)
+    phrases = np.asarray([[3, 4, -1], [6, 7, 8]], np.int32)
+    path = str(tmp_path / "ctc_beam_ctx.aot")
+    _export(model, buckets=[(2, 32)], path=path, beam_size=3,
+            platforms=("cpu",), ctc_device_beam=True,
+            context_phrases=phrases, context_weight=2.0)
+    dec = ExportedDecoder(path)
+    assert dec.meta["kind"] == "ctc_beam"
+    assert dec.meta["context_weight"] == 2.0
+    assert dec.meta["context_num_phrases"] == 2
+
+    rng = np.random.RandomState(3)
+    feats = rng.randn(2, 32, 20).astype(np.float32)
+    lens = np.array([32, 24], np.int32)
+    toks, tlens, scores = dec(model.params, feats, lens)
+
+    logits, len_logits = model.get_logits(model.params, feats, lens)
+    lp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+    ref_t, ref_l, ref_s = ctc_prefix_beam_device(
+        lp, len_logits, blank=11, beam=3,
+        context_phrases=phrases, context_weight=2.0,
+    )
+    np.testing.assert_array_equal(toks, np.asarray(ref_t))
+    np.testing.assert_allclose(scores, np.asarray(ref_s), rtol=1e-5)

@@ -56,6 +56,11 @@ def main(argv=None):
                    help="CTC models: export the on-device prefix beam "
                         "(kind 'ctc_beam' — n-best entirely on device) "
                         "instead of greedy + log-probs for host rescore")
+    p.add_argument("--context_file", default=None,
+                   help="with --ctc_device_beam: bake hotword biasing "
+                        "into the exported program (one phrase per "
+                        "line, tokenized like transcripts)")
+    p.add_argument("--context_weight", type=float, default=2.0)
     p.add_argument("--streaming", action="store_true", default=False,
                    help="export the streaming tick (ExportedStreamer) "
                         "instead of batch beam decode")
@@ -98,6 +103,27 @@ def main(argv=None):
         tuple(int(x) for x in spec.split("x"))
         for spec in args.buckets.split(",")
     ]
+    ctx_phrases = None
+    if args.context_file:
+        if not args.ctc_device_beam:
+            raise SystemExit(
+                "--context_file biasing requires --ctc_device_beam"
+            )
+        import numpy as np
+
+        phrases = [
+            tokenizer.encode(line)
+            for line in open(args.context_file, encoding="utf-8")
+            if line.strip()
+        ]
+        phrases = [p for p in phrases if p]
+        if not phrases:
+            raise SystemExit(f"--context_file {args.context_file}: empty")
+        max_l = max(len(p) for p in phrases)
+        ctx_phrases = np.full((len(phrases), max_l), -1, np.int32)
+        for i, ph in enumerate(phrases):
+            ctx_phrases[i, : len(ph)] = ph
+
     export_beam_decode(
         model, buckets=buckets, path=args.out, beam_size=args.nbest,
         max_decode_len=args.maxlen,
@@ -105,6 +131,8 @@ def main(argv=None):
         weights="int8" if args.int8 else "float32",
         compute=args.compute_dtype,
         ctc_device_beam=args.ctc_device_beam,
+        context_phrases=ctx_phrases,
+        context_weight=args.context_weight,
     )
     print(f"exported {len(buckets)} buckets -> {args.out}")
 
