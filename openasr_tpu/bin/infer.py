@@ -172,12 +172,15 @@ def main(argv=None):
             )
         lm_pkg = load_package(args.lm_pkg)
         lm_model_pkg = lm_pkg["model"] if "model" in lm_pkg else lm_pkg
-        lm = get_model_class("lstm_lm").create_model(
+        # the package records its own type: lstm_lm OR transformer_lm
+        # (make_lm_fusion dispatches the step/cache machinery)
+        lm_type = lm_model_pkg.get("model_type") or "lstm_lm"
+        lm = get_model_class(lm_type).create_model(
             Config(lm_model_pkg["configs"])
         )
         lm.restore(lm_model_pkg)
-        logging.info("Shallow fusion with %s (weight %.2f)",
-                     args.lm_pkg, args.lm_weight)
+        logging.info("Shallow fusion with %s (%s, weight %.2f)",
+                     args.lm_pkg, lm_type, args.lm_weight)
     ctc_decoder = None
     ctc_beam_device_fn = None
     if is_ctc and args.ctc_beam > 0:
@@ -220,7 +223,7 @@ def main(argv=None):
                 **ctx_kw,
             )
             if lm is not None:
-                from openasr_tpu.models.lm import LSTMLM
+                from openasr_tpu.models.lm import LSTMLM, TransformerLM
 
                 # ONE step closure for every batch (it is a static jit
                 # arg — a fresh closure per batch would retrace), and it
@@ -229,21 +232,30 @@ def main(argv=None):
                 # constants baked into every shape-bucket executable
                 # (same rule as the attention beam_fn below)
                 lm_module = lm.module
+                lm_is_tf = isinstance(lm_module, TransformerLM)
+                lm_method = TransformerLM.step if lm_is_tf else LSTMLM.step
 
                 def lm_step_fn(lm_p, tokens, cache):
                     return lm_module.apply(
-                        {"params": lm_p}, tokens, cache,
-                        method=LSTMLM.step,
+                        {"params": lm_p}, tokens, cache, method=lm_method
                     )
 
                 def ctc_beam_device_fn(log_probs, len_logits,
                                        _beam=args.ctc_beam,
                                        _w=args.lm_weight):
                     bb = int(log_probs.shape[0]) * _beam
-                    init_cache = lm_module.apply(
-                        {"params": lm.params}, bb,
-                        method=LSTMLM.init_carries,
-                    )
+                    if lm_is_tf:
+                        # ≤ one LM token per encoder frame, + the <sos>
+                        init_cache = lm_module.apply(
+                            {"params": lm.params}, bb,
+                            int(log_probs.shape[1]) + 1,
+                            method=TransformerLM.init_step_cache,
+                        )
+                    else:
+                        init_cache = lm_module.apply(
+                            {"params": lm.params}, bb,
+                            method=LSTMLM.init_carries,
+                        )
                     return ctc_prefix_beam_device(
                         log_probs, len_logits,
                         blank=tokenizer.unit_num() - 1, beam=_beam,

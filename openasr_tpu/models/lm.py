@@ -87,7 +87,9 @@ class LSTMLM(nn.Module):
 
 class TransformerLM(nn.Module):
     """Causal-masked transformer encoder as LM
-    (reference: src/blocks/lm_layers.py:66-110)."""
+    (reference: src/blocks/lm_layers.py:66-110), with an O(1)-per-token
+    cached `step` for shallow fusion (make_lm_fusion) — the same
+    KV-cache trick the ASR decoder uses."""
 
     vocab_size: int
     d_model: int
@@ -98,26 +100,85 @@ class TransformerLM(nn.Module):
     activation: str = "relu"
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, ids, lengths=None, deterministic: bool = True):
-        t = ids.shape[1]
-        emb = nn.Embed(
+    def setup(self):
+        # attribute/explicit names keep the param tree identical to the
+        # previous compact formulation: emb / layer{i} / out_bias
+        self.emb = nn.Embed(
             self.vocab_size, self.d_model, embedding_init=XAVIER_NORMAL,
-            dtype=self.dtype, name="emb",
+            dtype=self.dtype,
         )
-        x = emb(ids.astype(jnp.int32)) * math.sqrt(self.d_model)
-        x = positional_encoding(x)
-        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
-        for i in range(self.num_layers):
-            x = TransformerEncoderLayer(
+        self.layers = [
+            TransformerEncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.dropout_rate, self.activation, self.dtype,
                 name=f"layer{i}",
-            )(x, None, deterministic, kv_lengths=lengths, causal=True)
-        out_bias = self.param(
+            )
+            for i in range(self.num_layers)
+        ]
+        self.dropout = nn.Dropout(self.dropout_rate)
+        self.out_bias = self.param(
             "out_bias", nn.initializers.zeros, (self.vocab_size,)
         )
-        return emb.attend(x) + out_bias
+
+    def __call__(self, ids, lengths=None, deterministic: bool = True):
+        x = self.emb(ids.astype(jnp.int32)) * math.sqrt(self.d_model)
+        x = positional_encoding(x)
+        x = self.dropout(x, deterministic=deterministic)
+        for layer in self.layers:
+            x = layer(x, None, deterministic, kv_lengths=lengths,
+                      causal=True)
+        return self.emb.attend(x) + self.out_bias
+
+    def init_step_cache(self, batch: int, max_len: int = 512) -> dict:
+        """Per-layer KV cache [B, max_len, H, Dh] + position index, for
+        `step`.  max_len bounds the stream (decode lengths are far below
+        the PE table's 5000)."""
+        head_dim = self.d_model // self.nhead
+        zeros = jnp.zeros((batch, max_len, self.nhead, head_dim),
+                          self.dtype)
+        return {
+            # per-row so the beam machinery can reorder/reshape the
+            # cache uniformly (all rows advance in lockstep; step reads
+            # element 0)
+            "idx": jnp.zeros((batch,), jnp.int32),
+            "layers": [
+                {"k": zeros, "v": zeros} for _ in range(self.num_layers)
+            ],
+        }
+
+    def step(self, tokens, cache):
+        """One LM step: tokens [B] + cache -> (log-probs [B, V], cache).
+        Exact against the causal batch forward (the appended current
+        token attends cache positions < idx plus itself — precisely row
+        idx of the causal mask)."""
+        idx = cache["idx"][0]
+        x = self.emb(tokens.astype(jnp.int32))[:, None, :] * math.sqrt(
+            self.d_model
+        )
+        x = positional_encoding(x, offset=idx)
+        max_len = cache["layers"][0]["k"].shape[1]
+        pos = jnp.arange(max_len + 1)
+        valid = (pos < idx) | (pos == max_len)
+        key_bias = jnp.where(valid, 0.0, -1e9)[None, None, None, :]
+        new_layers = []
+        for layer, lc in zip(self.layers, cache["layers"]):
+            out, k_cur, v_cur = layer.chunk_step(
+                x, lc["k"], lc["v"], key_bias
+            )
+            new_layers.append({
+                "k": jax.lax.dynamic_update_slice_in_dim(
+                    lc["k"], k_cur.astype(lc["k"].dtype), idx, axis=1
+                ),
+                "v": jax.lax.dynamic_update_slice_in_dim(
+                    lc["v"], v_cur.astype(lc["v"].dtype), idx, axis=1
+                ),
+            })
+            x = out
+        logits = self.emb.attend(x[:, 0]) + self.out_bias
+        return (
+            jax.nn.log_softmax(logits.astype(jnp.float32), -1),
+            {"idx": cache["idx"] + 1, "layers": new_layers},
+        )
 
 
 class _LMFramework(Framework):
@@ -184,15 +245,34 @@ class TransformerLMModel(_LMFramework):
         return cls(module, variables["params"], configs)
 
 
-def make_lm_fusion(lm, lm_params, bb: int):
-    """(lm_step_fn, init_lm_cache) for LSTM-LM shallow fusion over bb
-    beam rows; (None, None) when no LM is given.  Shared by every
+def make_lm_fusion(lm, lm_params, bb: int, max_len: int = 512):
+    """(lm_step_fn, init_lm_cache) for LM shallow fusion over bb beam
+    rows; (None, None) when no LM is given.  Shared by every
     batch_beam_decode (speech.py / cif.py) so the carry-init and step
-    plumbing cannot drift between families."""
+    plumbing cannot drift between families.
+
+    Dispatches on the LM type: LSTM carries for `lstm_lm`, a KV cache
+    of `max_len` positions for `transformer_lm` (its O(1) `step` is
+    exact against the causal batch forward)."""
     if lm is None:
         return None, None
     lm_module = lm.module if hasattr(lm, "module") else lm
     lm_p = lm_params if lm_params is not None else lm.params
+
+    if isinstance(lm_module, TransformerLM):
+        init_lm_cache = lm_module.apply(
+            {"params": lm_p}, bb, max_len,
+            method=TransformerLM.init_step_cache,
+        )
+
+        def lm_step_fn(tokens, lm_cache):
+            return lm_module.apply(
+                {"params": lm_p}, tokens, lm_cache,
+                method=TransformerLM.step,
+            )
+
+        return lm_step_fn, init_lm_cache
+
     init_lm_cache = lm_module.apply(
         {"params": lm_p}, bb, method=LSTMLM.init_carries
     )

@@ -183,7 +183,8 @@ class ConvTransformer(Framework):
         from openasr_tpu.models.lm import make_lm_fusion
 
         lm_step_fn, init_lm_cache = make_lm_fusion(
-            lm if lm_weight != 0.0 else None, lm_params, b * beam_size
+            lm if lm_weight != 0.0 else None, lm_params, b * beam_size,
+            max_len=max_decode_len + 1,
         )
 
         vocab = self.configs.decoder["vocab_size"]

@@ -97,3 +97,161 @@ def test_cif_beam_decode_accepts_lm():
     )
     assert np.asarray(fused_preds).shape == np.asarray(base_preds).shape
     assert not np.allclose(np.asarray(fused_scores), np.asarray(base_scores))
+
+
+# ----------------------------------------------- transformer-LM fusion
+
+def test_transformer_lm_step_equals_batch_forward():
+    """TransformerLM.step (KV-cached, O(1)/token) is exact against the
+    causal batch forward — the basis of transformer-LM shallow fusion."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+
+    lm = get_model_class("transformer_lm").create_model(Config({
+        "vocab_size": 12, "d_model": 16, "nhead": 2, "num_layers": 2,
+        "dim_feedforward": 32, "dropout_rate": 0.0,
+    }))
+    mod = lm.module
+    ids = np.random.RandomState(0).randint(0, 12, (3, 9)).astype(np.int32)
+    full = mod.apply({"params": lm.params}, jnp.asarray(ids))
+    full_lp = jax.nn.log_softmax(full.astype(jnp.float32), -1)
+    cache = mod.apply({"params": lm.params}, 3, 16,
+                      method=type(mod).init_step_cache)
+    for t in range(ids.shape[1]):
+        lp, cache = mod.apply({"params": lm.params},
+                              jnp.asarray(ids[:, t]), cache,
+                              method=type(mod).step)
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(full_lp[:, t]), atol=2e-5,
+            err_msg=f"step {t}",
+        )
+
+
+def test_transformer_lm_fusion_in_attention_beam():
+    """make_lm_fusion dispatches on the LM type: a transformer LM fuses
+    into the attention beam search and changes the scores."""
+    import numpy as np
+
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+
+    from test_serving import small_model
+
+    model = small_model()
+    lm = get_model_class("transformer_lm").create_model(Config({
+        "vocab_size": 20, "d_model": 16, "nhead": 2, "num_layers": 1,
+        "dim_feedforward": 32, "dropout_rate": 0.0,
+    }))
+    feats = np.random.RandomState(0).randn(2, 24, 20).astype(np.float32)
+    lens = np.asarray([24, 18], np.int32)
+    base = model.batch_beam_decode(model.params, feats, lens,
+                                   beam_size=2, max_decode_len=6)
+    fused = model.batch_beam_decode(
+        model.params, feats, lens, beam_size=2, max_decode_len=6,
+        lm=lm, lm_params=lm.params, lm_weight=0.4,
+    )
+    assert np.asarray(fused[0]).shape == np.asarray(base[0]).shape
+    assert not np.allclose(np.asarray(fused[2]), np.asarray(base[2]))
+
+
+def test_transformer_lm_fusion_in_device_ctc_beam():
+    """The device CTC prefix beam fuses a transformer LM through the
+    same (lm_params, tokens, cache) convention; oracle check mirrors
+    the LSTM one (tests/test_ctc_beam_device.py) at top-1."""
+    import math
+
+    import numpy as np
+
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.models.lm import TransformerLM, make_lm_fusion
+    from openasr_tpu.ops.ctc_beam_device import ctc_prefix_beam_device
+
+    v, blank, beam, b, t = 8, 7, 4, 2, 10
+    lm = get_model_class("transformer_lm").create_model(Config({
+        "vocab_size": v - 1, "d_model": 16, "nhead": 2, "num_layers": 1,
+        "dim_feedforward": 32, "dropout_rate": 0.0,
+    }))
+    w, sos = 0.5, 1
+    rng = np.random.RandomState(13)
+    logits = rng.randn(b, t, v).astype(np.float32) * 2.0
+    lp = (logits - np.log(np.exp(logits).sum(-1, keepdims=True))).astype(
+        np.float32
+    )
+    lengths = np.asarray([t, t - 2], np.int32)
+
+    lm_step_fn, init_cache = make_lm_fusion(lm, lm.params, b * beam,
+                                            max_len=t + 1)
+    toks, lens_out, scores = ctc_prefix_beam_device(
+        lp, lengths, blank=blank, beam=beam, lm_step_fn=lm_step_fn,
+        init_lm_cache=init_cache, lm_weight=w, sos_id=sos,
+    )
+    toks, lens_out, scores = map(np.asarray, (toks, lens_out, scores))
+
+    # python oracle: LM scores recomputed per prefix from scratch
+    mod = lm.module
+
+    def lm_logp_of(prefix):
+        import jax.numpy as jnp
+
+        cache = mod.apply({"params": lm.params}, 1, t + 1,
+                          method=TransformerLM.init_step_cache)
+        logp = None
+        for tok in (sos,) + prefix:
+            logp, cache = mod.apply(
+                {"params": lm.params}, jnp.asarray([tok]), cache,
+                method=TransformerLM.step,
+            )
+        return np.asarray(logp)[0]
+
+    def log_add(a, b_):
+        if a == -np.inf:
+            return b_
+        if b_ == -np.inf:
+            return a
+        m = max(a, b_)
+        return m + math.log1p(math.exp(-abs(a - b_)))
+
+    for i in range(b):
+        beams = {(): (0.0, -np.inf)}
+        lm_tbl = {(): lm_logp_of(())}
+        for tt in range(int(lengths[i])):
+            frame = lp[i, tt]
+            new = {}
+
+            def acc(prefix, pb=-np.inf, pnb=-np.inf):
+                o = new.get(prefix, (-np.inf, -np.inf))
+                new[prefix] = (log_add(o[0], pb), log_add(o[1], pnb))
+
+            for prefix, (p_b, p_nb) in beams.items():
+                p_tot = log_add(p_b, p_nb)
+                lastc = prefix[-1] if prefix else -1
+                for c in range(v):
+                    f = float(frame[c])
+                    if c == blank:
+                        acc(prefix, pb=p_tot + f)
+                        continue
+                    bonus = w * float(lm_tbl[prefix][c])
+                    if c == lastc:
+                        acc(prefix, pnb=p_nb + f)
+                        acc(prefix + (c,), pnb=p_b + f + bonus)
+                    else:
+                        acc(prefix + (c,), pnb=p_tot + f + bonus)
+            beams = dict(sorted(
+                new.items(), key=lambda kv: log_add(*kv[1]), reverse=True,
+            )[:beam])
+            for prefix in beams:
+                if prefix not in lm_tbl:
+                    lm_tbl[prefix] = lm_logp_of(prefix)
+        ora = sorted(
+            ((p, log_add(*s)) for p, s in beams.items()),
+            key=lambda kv: kv[1], reverse=True,
+        )
+        dev_top = tuple(int(c) for c in toks[i, 0, : lens_out[i, 0]])
+        assert dev_top == ora[0][0], (i, dev_top, ora[0][0])
+        assert np.isclose(scores[i, 0], ora[0][1], atol=3e-3)
