@@ -53,6 +53,11 @@ def get_args(argv=None):
     parser.add_argument("--split_token", action="store_true", default=False)
     parser.add_argument("--show_partials", action="store_true", default=False,
                         help="log partial hypotheses after every chunk")
+    parser.add_argument("--partial_beam", type=int, default=0,
+                        help="N>0: full prefix-beam partials — the "
+                             "on-device beam state carries across "
+                             "chunks (exactly the one-shot prefix beam "
+                             "over all frames so far); 0 = greedy")
     parser.add_argument("--rescore", action="store_true", default=False,
                         help="final attention beam pass over the "
                              "accumulated encoder states (two-pass "
@@ -161,7 +166,8 @@ def main(argv=None):
 
         t_first = time.time()
         hyps, enc, enc_lens = rec.decode_waves(
-            inputs, lengths, on_partial=on_partial
+            inputs, lengths, on_partial=on_partial,
+            partial_beam=args.partial_beam,
         )
         # decode_waves runs ceil(padded_width / unit) device steps — the
         # collate's shape quantization can pad past max(lengths), so

@@ -350,3 +350,81 @@ def ctc_prefix_beam_device(
     return jax.vmap(fn)(log_probs.astype(jnp.float32),
                         lengths.astype(jnp.int32), lm_cache0, lm_logp0,
                         cmatch0)
+
+
+# ------------------------------------------------------ streaming variant
+
+def ctc_beam_stream_init(batch: int, beam: int, max_frames: int) -> dict:
+    """Carryable prefix-beam state for chunkwise streaming decoding
+    (`ctc_beam_stream_step`): the same (toks, lens, last, hash, pb, pnb)
+    recursion state `ctc_prefix_beam_device` scans internally, with the
+    token buffer sized to the stream bound.  Chunk boundaries do not
+    exist in the math — feeding the same frames in any chunking yields
+    bit-identical state — so streaming partials carry FULL prefix-beam
+    quality, not greedy's."""
+    return {
+        "toks": jnp.zeros((batch, beam, max_frames), jnp.int32),
+        "lens": jnp.zeros((batch, beam), jnp.int32),
+        "last": jnp.full((batch, beam), -1, jnp.int32),
+        "h": jnp.broadcast_to(
+            (jnp.uint32(0x80000000)
+             + jnp.arange(beam, dtype=jnp.uint32)).at[0].set(jnp.uint32(0)),
+            (batch, beam),
+        ),
+        "pb": jnp.broadcast_to(
+            jnp.full((beam,), NEG_INF).at[0].set(0.0), (batch, beam)
+        ),
+        "pnb": jnp.full((batch, beam), NEG_INF),
+    }
+
+
+@partial(jax.jit, static_argnames=("blank", "beam", "cutoff_top_n",
+                                   "cutoff_logp"))
+def ctc_beam_stream_step(
+    state: dict,
+    log_probs: jnp.ndarray,
+    frame_valid: jnp.ndarray,
+    blank: int,
+    beam: int = 10,
+    cutoff_top_n: int = 40,
+    cutoff_logp: float = -20.0,
+):
+    """Advance the streaming prefix beam over one chunk.
+
+    state: from `ctc_beam_stream_init` (or a previous step);
+    log_probs [B, ch, V] log-softmax for this chunk's frames;
+    frame_valid [B, ch] bool (stream warm-up / final-chunk padding
+    frames pass state through unchanged — same contract as the
+    streaming executor's `valid` output).
+
+    Returns (new_state, (tokens [B, beam, max_frames], lens, scores))
+    — the n-best ordered snapshot after this chunk.  Exact: running any
+    chunking of T frames equals `ctc_prefix_beam_device` over the full
+    [B, T, V] (tests/test_ctc_beam_device.py)."""
+    def one_row(st, lp, valid):
+        carry = (st["toks"], st["lens"], st["last"], st["h"], st["pb"],
+                 st["pnb"], (), jnp.zeros((beam, 0), jnp.float32),
+                 jnp.zeros((beam, 0), jnp.int32))
+        step = partial(_step, blank=int(blank), beam=int(beam),
+                       cutoff_top_n=int(cutoff_top_n),
+                       cutoff_logp=float(cutoff_logp),
+                       lm_step_fn=None, lm_weight=0.0,
+                       ctx_phrases=None, ctx_weight=0.0)
+        (toks, lens, last, h, pb, pnb, _, _, _), _ = jax.lax.scan(
+            step, carry, (lp, valid)
+        )
+        return {"toks": toks, "lens": lens, "last": last, "h": h,
+                "pb": pb, "pnb": pnb}
+
+    new_state = jax.vmap(one_row)(
+        state, log_probs.astype(jnp.float32),
+        jnp.asarray(frame_valid, jnp.bool_),
+    )
+    total = _logaddexp(new_state["pb"], new_state["pnb"])  # [B, N]
+    order = jnp.argsort(-total, axis=1)
+    toks = jnp.take_along_axis(
+        new_state["toks"], order[:, :, None], axis=1
+    )
+    lens = jnp.take_along_axis(new_state["lens"], order, axis=1)
+    scores = jnp.take_along_axis(total, order, axis=1)
+    return new_state, (toks, lens, scores)

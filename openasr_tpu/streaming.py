@@ -329,14 +329,23 @@ class StreamingRecognizer:
 
     # ------------------------------------------------------ host driving
 
-    def decode_waves(self, inputs, lengths, on_partial=None):
+    def decode_waves(self, inputs, lengths, on_partial=None,
+                     partial_beam: int = 0):
         """Drive a full batch of utterances chunk by chunk (host loop) and
-        greedy-CTC decode incrementally.  inputs: [B, N] waves (fbank
+        CTC-decode incrementally.  inputs: [B, N] waves (fbank
         models) or [B, T, D] feats (offline); lengths [B].  Returns
         (hyps: list of id lists, enc [B, E, d], enc_lens [B]) — enc is the
         accumulated encoder state for a final attention/beam pass.
         `on_partial(chunk_idx, hyps)` is called after each chunk with the
-        current partial hypotheses."""
+        current partial hypotheses.
+
+        partial_beam=0 (default): greedy partials.  partial_beam=N > 0:
+        FULL prefix-beam partials — the device beam state
+        (ops/ctc_beam_device.py) carries across chunks, so every tick's
+        partial is exactly what a one-shot prefix beam over all frames
+        so far would produce (bit-identical; chunk boundaries don't
+        exist in the recursion), and the final hypotheses are the
+        utterance-level prefix-beam 1-best."""
         inputs = np.asarray(inputs)
         lengths = np.asarray(lengths, np.int64)
         b = inputs.shape[0]
@@ -358,6 +367,23 @@ class StreamingRecognizer:
         blank = None
         if self._head_name is not None:
             blank = int(self.model.configs.decoder["vocab_size"]) - 1
+        if partial_beam > 0 and blank is None:
+            raise ValueError(
+                "partial_beam needs a CTC head (conv-ctc / "
+                "conv-ctc-transformer); attention-only models stream "
+                "encoder states for the final pass instead"
+            )
+
+        beam_state = None
+        if partial_beam > 0:
+            from openasr_tpu.ops.ctc_beam_device import (
+                ctc_beam_stream_init,
+                ctc_beam_stream_step,
+            )
+
+            beam_state = ctc_beam_stream_init(
+                b, partial_beam, max_frames=n_chunks * self.chunk
+            )
 
         state = self.init_state(b)
         hyps: list = [[] for _ in range(b)]
@@ -369,7 +395,22 @@ class StreamingRecognizer:
             state, out = self.step(state, piece, lens)
             valid = np.asarray(out["valid"])
             enc_chunks.append((np.asarray(out["enc"]), valid))
-            if blank is not None:
+            if blank is not None and partial_beam > 0:
+                log_probs = jax.nn.log_softmax(
+                    out["logits"].astype(jnp.float32), axis=-1
+                )
+                beam_state, (btoks, blens, _) = ctc_beam_stream_step(
+                    beam_state, log_probs, jnp.asarray(valid),
+                    blank=blank, beam=partial_beam,
+                )
+                btoks_np, blens_np = np.asarray(btoks), np.asarray(blens)
+                hyps = [
+                    list(btoks_np[bi, 0, : blens_np[bi, 0]])
+                    for bi in range(b)
+                ]
+                if on_partial is not None:
+                    on_partial(n, [list(h) for h in hyps])
+            elif blank is not None:
                 ids = np.asarray(jnp.argmax(out["logits"], axis=-1))
                 for bi in range(b):
                     for j in range(ids.shape[1]):

@@ -595,3 +595,76 @@ def test_infer_cli_context_biasing(tmp_path):
     assert len(lines) == 2
     for line in lines:
         assert line.split(" ", 1)[0].startswith("utt")
+
+
+# ------------------------------------------------- streaming beam state
+
+def test_stream_chunking_equals_one_shot():
+    """Any chunking of the frames yields bit-identical beam state and
+    n-best to the one-shot batched search — chunk boundaries do not
+    exist in the recursion."""
+    from openasr_tpu.ops.ctc_beam_device import (
+        ctc_beam_stream_init,
+        ctc_beam_stream_step,
+    )
+
+    b, t, v, beam = 2, 24, 10, 5
+    lp = _random_log_probs(b, t, v, seed=31, peaky=0.8)
+    lengths = np.asarray([24, 17], np.int32)
+
+    ref_t, ref_l, ref_s = ctc_prefix_beam_device(
+        lp, lengths, blank=v - 1, beam=beam
+    )
+
+    for chunk in (4, 6, 24):
+        state = ctc_beam_stream_init(b, beam, max_frames=t)
+        out = None
+        for start in range(0, t, chunk):
+            sl = lp[:, start : start + chunk]
+            valid = (
+                np.arange(start, start + sl.shape[1])[None, :]
+                < lengths[:, None]
+            )
+            state, out = ctc_beam_stream_step(
+                state, sl, valid, blank=v - 1, beam=beam
+            )
+        toks, lens, scores = map(np.asarray, out)
+        # token buffers: one-shot t_cap == stream max_frames == t here
+        np.testing.assert_array_equal(lens, np.asarray(ref_l))
+        np.testing.assert_allclose(scores, np.asarray(ref_s), atol=1e-5)
+        for i in range(b):
+            for n in range(beam):
+                np.testing.assert_array_equal(
+                    toks[i, n, : lens[i, n]],
+                    np.asarray(ref_t)[i, n, : lens[i, n]],
+                    err_msg=f"chunk={chunk} row={i} beam={n}",
+                )
+
+
+def test_stream_partials_are_usable_midstream():
+    """The per-chunk snapshot is a valid n-best at every tick (ordered,
+    live top beam), so streaming partials carry beam quality."""
+    from openasr_tpu.ops.ctc_beam_device import (
+        ctc_beam_stream_init,
+        ctc_beam_stream_step,
+    )
+
+    b, t, v, beam = 1, 12, 8, 4
+    lp = _random_log_probs(b, t, v, seed=33, peaky=1.0)
+    state = ctc_beam_stream_init(b, beam, max_frames=t)
+    for start in range(0, t, 3):
+        sl = lp[:, start : start + 3]
+        valid = np.ones((b, sl.shape[1]), bool)
+        state, (toks, lens, scores) = ctc_beam_stream_step(
+            state, sl, valid, blank=v - 1, beam=beam
+        )
+        s = np.asarray(scores)[0]
+        assert np.all(np.diff(s) <= 1e-6)
+        assert s[0] > -1e29
+        # the running partial equals a one-shot decode of the frames so far
+        ref = _device_nbest(
+            np.ascontiguousarray(lp[:, : start + 3]),
+            np.asarray([start + 3]), v - 1, beam,
+        )
+        got = tuple(int(c) for c in np.asarray(toks)[0, 0, : np.asarray(lens)[0, 0]])
+        assert got == ref[0][0][0]

@@ -321,3 +321,44 @@ def test_streaming_pe_capacity_is_loud():
     np.testing.assert_allclose(
         enc_s[0, :n], np.asarray(enc_full)[0, :n], atol=2e-5, rtol=1e-5
     )
+
+
+def test_streaming_beam_partials_match_batch_prefix_beam():
+    """decode_waves(partial_beam=N): the streamed prefix-beam 1-best
+    equals ctc_prefix_beam_device over the BATCH forward's log-probs —
+    streaming beam decoding is exact, not an approximation (the
+    executor's encoder states match the batch forward, and chunk
+    boundaries don't exist in the beam recursion)."""
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.ops.ctc_beam_device import ctc_prefix_beam_device
+
+    cfg = _speech_cfg({"chunk": 4, "left_chunks": 2}, online=False)
+    model = get_model_class(cfg.type).create_model(cfg)
+    rec = StreamingRecognizer(model)
+
+    rng = np.random.RandomState(5)
+    feats = (rng.randn(2, 40, 20) * 0.5).astype(np.float32)
+    lengths = np.asarray([40, 30], np.int32)
+
+    partial_log = []
+    hyps, _, _ = rec.decode_waves(
+        feats, lengths, partial_beam=4,
+        on_partial=lambda n, h: partial_log.append(h),
+    )
+    assert partial_log, "no partials emitted"
+    assert hyps == partial_log[-1]
+
+    logits, len_logits = model.get_logits(model.params, feats, lengths)
+    import jax
+
+    lp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+    blank = int(cfg.decoder["vocab_size"]) - 1
+    ref_t, ref_l, _ = ctc_prefix_beam_device(
+        lp, len_logits, blank=blank, beam=4
+    )
+    ref_t, ref_l = np.asarray(ref_t), np.asarray(ref_l)
+    for bi in range(2):
+        ref_best = [int(c) for c in ref_t[bi, 0, : ref_l[bi, 0]]]
+        assert [int(c) for c in hyps[bi]] == ref_best, (
+            bi, hyps[bi], ref_best
+        )
