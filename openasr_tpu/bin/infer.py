@@ -196,25 +196,20 @@ def main(argv=None):
 
             ctx_kw = {}
             if args.context_file:
-                phrases = [
-                    tokenizer.encode(line)
-                    for line in open(args.context_file, encoding="utf-8")
-                    if line.strip()
-                ]
-                phrases = [p for p in phrases if p]
-                if not phrases:
-                    raise SystemExit(
-                        f"--context_file {args.context_file}: no phrases"
-                    )
-                max_l = max(len(p) for p in phrases)
-                pad = np.full((len(phrases), max_l), -1, np.int32)
-                for i, p in enumerate(phrases):
-                    pad[i, : len(p)] = p
+                from openasr_tpu.data.tokenizer import (
+                    load_context_phrases,
+                )
+
+                try:
+                    pad = load_context_phrases(tokenizer,
+                                               args.context_file)
+                except ValueError as e:
+                    raise SystemExit(str(e))
                 ctx_kw = {"context_phrases": pad,
                           "context_weight": args.context_weight}
                 logging.info(
                     "hotword biasing: %d phrases, weight %.2f",
-                    len(phrases), args.context_weight,
+                    pad.shape[0], args.context_weight,
                 )
 
             ctc_beam_device_fn = partial(

@@ -108,3 +108,44 @@ def build_tokenizer(vocab_path: str, add_blk: bool = False, kind: str = "char"):
     if kind in ("subword", "bpe"):
         return SubwordTokenizer(vocab_path, add_blk=add_blk)
     raise ValueError(f"Unknown tokenizer kind: {kind}")
+
+
+def load_context_phrases(tokenizer, path: str):
+    """Hotword/context phrases for biased decoding: one phrase per line
+    (tokenized like transcripts), returned as an int32 [P, L] table
+    padded with -1 — the layout ops/ctc_beam_device.py consumes.
+
+    A phrase containing any out-of-vocabulary token is REJECTED loudly:
+    silently encoding it as <unk> would make the decoder boost
+    <unk>-token paths while the intended hotword can never complete
+    (and for AOT exports would bake the broken table in permanently)."""
+    import numpy as np
+
+    unk = tokenizer.unit2id[UNK_SYM]
+    phrases = []
+    with open(path, encoding="utf-8") as f:
+        for lineno, line in enumerate(f, 1):
+            if not line.strip():
+                continue
+            ids = tokenizer.encode(line)
+            if not ids:
+                continue
+            if unk in ids:
+                bad = [
+                    tok for tok in line.strip().split()
+                    if tokenizer.unit2id.get(tok, unk) == unk
+                ]
+                raise ValueError(
+                    f"{path}:{lineno}: phrase {line.strip()!r} contains "
+                    f"out-of-vocabulary token(s) {bad} — it would boost "
+                    f"<unk> paths and never match; fix the phrase or "
+                    f"the vocabulary"
+                )
+            phrases.append(ids)
+    if not phrases:
+        raise ValueError(f"{path}: no usable context phrases")
+    max_l = max(len(p) for p in phrases)
+    table = np.full((len(phrases), max_l), -1, np.int32)
+    for i, p in enumerate(phrases):
+        table[i, : len(p)] = p
+    return table

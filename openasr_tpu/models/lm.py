@@ -19,6 +19,7 @@ from openasr_tpu.config import Config
 from openasr_tpu.models import Framework, register_model
 from openasr_tpu.models.layers import (
     TransformerEncoderLayer,
+    _pe_table,
     positional_encoding,
 )
 from openasr_tpu.models.speech import target_lengths_of
@@ -137,9 +138,10 @@ class TransformerLM(nn.Module):
         zeros = jnp.zeros((batch, max_len, self.nhead, head_dim),
                           self.dtype)
         return {
-            # per-row so the beam machinery can reorder/reshape the
-            # cache uniformly (all rows advance in lockstep; step reads
-            # element 0)
+            # PER-ROW position: in the CTC prefix beam, rows DIVERGE
+            # (stay beams keep the parent cache un-advanced while
+            # extensions advance), so every step computation — PE
+            # offset, causal key mask, K/V write slot — must be per-row
             "idx": jnp.zeros((batch,), jnp.int32),
             "layers": [
                 {"k": zeros, "v": zeros} for _ in range(self.num_layers)
@@ -148,36 +150,51 @@ class TransformerLM(nn.Module):
 
     def step(self, tokens, cache):
         """One LM step: tokens [B] + cache -> (log-probs [B, V], cache).
-        Exact against the causal batch forward (the appended current
-        token attends cache positions < idx plus itself — precisely row
-        idx of the causal mask)."""
-        idx = cache["idx"][0]
+        Exact against the causal batch forward (each row's current token
+        attends that row's cache positions < idx[row] plus itself —
+        precisely row idx of the causal mask).
+
+        Everything is PER-ROW: the CTC prefix beam mixes rows at
+        different positions in one call (stays carry the parent cache
+        un-advanced while extensions advance), so PE offset, key mask,
+        and the K/V write slot are gathered/scattered by each row's own
+        idx — a single shared `idx[0]` would silently corrupt every
+        divergent row's scores.  A row at idx == max_len drops its K/V
+        write (the one-hot scatter has no matching slot) rather than
+        overwriting an occupied one; size the cache so this never
+        happens (make_lm_fusion's max_len)."""
+        idx = cache["idx"]  # [B]
+        b = tokens.shape[0]
         x = self.emb(tokens.astype(jnp.int32))[:, None, :] * math.sqrt(
             self.d_model
         )
-        x = positional_encoding(x, offset=idx)
+        # per-row positional encoding: row b gets PE[idx[b]] (the
+        # sqrt(d) factor matches positional_encoding's scaling)
+        pe = jnp.asarray(_pe_table(self.d_model, 5000))[
+            jnp.clip(idx, 0, 4999)
+        ].astype(x.dtype)  # [B, D]
+        x = x * (self.d_model ** 0.5) + pe[:, None, :]
         max_len = cache["layers"][0]["k"].shape[1]
         pos = jnp.arange(max_len + 1)
-        valid = (pos < idx) | (pos == max_len)
-        key_bias = jnp.where(valid, 0.0, -1e9)[None, None, None, :]
+        valid = (pos[None, :] < idx[:, None]) | (pos[None, :] == max_len)
+        key_bias = jnp.where(valid, 0.0, -1e9)[:, None, None, :]
+        write = (
+            jnp.arange(max_len)[None, :] == idx[:, None]
+        )[:, :, None, None]  # [B, L, 1, 1]
         new_layers = []
         for layer, lc in zip(self.layers, cache["layers"]):
             out, k_cur, v_cur = layer.chunk_step(
                 x, lc["k"], lc["v"], key_bias
             )
             new_layers.append({
-                "k": jax.lax.dynamic_update_slice_in_dim(
-                    lc["k"], k_cur.astype(lc["k"].dtype), idx, axis=1
-                ),
-                "v": jax.lax.dynamic_update_slice_in_dim(
-                    lc["v"], v_cur.astype(lc["v"].dtype), idx, axis=1
-                ),
+                "k": jnp.where(write, k_cur.astype(lc["k"].dtype), lc["k"]),
+                "v": jnp.where(write, v_cur.astype(lc["v"].dtype), lc["v"]),
             })
             x = out
         logits = self.emb.attend(x[:, 0]) + self.out_bias
         return (
             jax.nn.log_softmax(logits.astype(jnp.float32), -1),
-            {"idx": cache["idx"] + 1, "layers": new_layers},
+            {"idx": idx + 1, "layers": new_layers},
         )
 
 

@@ -148,12 +148,17 @@ def export_beam_decode(
         "buckets": [[int(b), int(t)] for b, t in buckets],
         "weights": weights,
         "compute": compute,
+        # derived from the SAME condition that bakes the table into the
+        # program — meta must never claim biasing the program lacks
         "context_weight": (
-            float(context_weight) if context_phrases is not None else 0.0
+            float(context_weight)
+            if context_phrases is not None and context_weight != 0.0
+            else 0.0
         ),
         "context_num_phrases": (
             int(np.shape(context_phrases)[0])
-            if context_phrases is not None else 0
+            if context_phrases is not None and context_weight != 0.0
+            else 0
         ),
     }
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:

@@ -403,10 +403,13 @@ class StreamingRecognizer:
                     beam_state, log_probs, jnp.asarray(valid),
                     blank=blank, beam=partial_beam,
                 )
-                btoks_np, blens_np = np.asarray(btoks), np.asarray(blens)
+                # fetch only the 1-best row — the full [B, N, max_frames]
+                # snapshot would move O(chunks * N * max_frames) ints to
+                # host over the stream for data the partials never use
+                btoks_np = np.asarray(btoks[:, 0])
+                blens_np = np.asarray(blens[:, 0])
                 hyps = [
-                    list(btoks_np[bi, 0, : blens_np[bi, 0]])
-                    for bi in range(b)
+                    list(btoks_np[bi, : blens_np[bi]]) for bi in range(b)
                 ]
                 if on_partial is not None:
                     on_partial(n, [list(h) for h in hyps])

@@ -255,3 +255,78 @@ def test_transformer_lm_fusion_in_device_ctc_beam():
         dev_top = tuple(int(c) for c in toks[i, 0, : lens_out[i, 0]])
         assert dev_top == ora[0][0], (i, dev_top, ora[0][0])
         assert np.isclose(scores[i, 0], ora[0][1], atol=3e-3)
+
+
+def test_transformer_lm_step_with_divergent_row_positions():
+    """Regression (round-4 review): in the CTC prefix beam, rows reach
+    step() at DIFFERENT positions (stays keep the parent cache
+    un-advanced).  Each row's output must equal an independent per-row
+    replay — a shared idx[0] silently corrupted divergent rows by up to
+    ~1.7 nats."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+
+    lm = get_model_class("transformer_lm").create_model(Config({
+        "vocab_size": 12, "d_model": 16, "nhead": 2, "num_layers": 2,
+        "dim_feedforward": 32, "dropout_rate": 0.0,
+    }))
+    mod = lm.module
+    rng = np.random.RandomState(0)
+    # per-row prefixes of DIFFERENT lengths
+    prefixes = [(3, 5, 2), (7,), (1, 2, 3, 4), ()]
+    next_tokens = np.asarray([4, 9, 6, 2], np.int32)
+    b, max_len = len(prefixes), 8
+
+    def replay(prefix, tok):
+        cache = mod.apply({"params": lm.params}, 1, max_len,
+                          method=type(mod).init_step_cache)
+        for c in prefix + (int(tok),):
+            lp, cache = mod.apply({"params": lm.params},
+                                  jnp.asarray([c]), cache,
+                                  method=type(mod).step)
+        return np.asarray(lp)[0]
+
+    # build a batched cache with divergent rows by feeding row tokens
+    # one position at a time (rows past their prefix length feed a dummy
+    # token; we then OVERWRITE those rows' state with their earlier
+    # snapshot, exactly what the beam's where(is_stay, parent, adv) does)
+    import jax
+
+    cache = mod.apply({"params": lm.params}, b, max_len,
+                      method=type(mod).init_step_cache)
+    snapshots = {}
+    max_p = max(len(p) for p in prefixes)
+    for t in range(max_p):
+        for bi, p in enumerate(prefixes):
+            if len(p) == t:
+                snapshots[bi] = jax.tree_util.tree_map(
+                    lambda x: np.asarray(x[bi]), cache
+                )
+        toks = np.asarray(
+            [p[t] if t < len(p) else 0 for p in prefixes], np.int32
+        )
+        _, cache = mod.apply({"params": lm.params}, jnp.asarray(toks),
+                             cache, method=type(mod).step)
+    for bi, p in enumerate(prefixes):
+        if len(p) == max_p:
+            snapshots[bi] = jax.tree_util.tree_map(
+                lambda x: np.asarray(x[bi]), cache
+            )
+    # stitch the divergent batch cache
+    cache = jax.tree_util.tree_map(
+        lambda *rows: jnp.stack([jnp.asarray(r) for r in rows]),
+        *[snapshots[bi] for bi in range(b)],
+    )
+    assert len({int(i) for i in np.asarray(cache["idx"])}) > 1
+
+    lp, _ = mod.apply({"params": lm.params}, jnp.asarray(next_tokens),
+                      cache, method=type(mod).step)
+    lp = np.asarray(lp)
+    for bi, p in enumerate(prefixes):
+        ref = replay(p, next_tokens[bi])
+        np.testing.assert_allclose(lp[bi], ref, atol=2e-5,
+                                   err_msg=f"row {bi} prefix {p}")

@@ -109,20 +109,13 @@ def main(argv=None):
             raise SystemExit(
                 "--context_file biasing requires --ctc_device_beam"
             )
-        import numpy as np
+        from openasr_tpu.data.tokenizer import load_context_phrases
 
-        phrases = [
-            tokenizer.encode(line)
-            for line in open(args.context_file, encoding="utf-8")
-            if line.strip()
-        ]
-        phrases = [p for p in phrases if p]
-        if not phrases:
-            raise SystemExit(f"--context_file {args.context_file}: empty")
-        max_l = max(len(p) for p in phrases)
-        ctx_phrases = np.full((len(phrases), max_l), -1, np.int32)
-        for i, ph in enumerate(phrases):
-            ctx_phrases[i, : len(ph)] = ph
+        try:
+            ctx_phrases = load_context_phrases(tokenizer,
+                                               args.context_file)
+        except ValueError as e:
+            raise SystemExit(str(e))
 
     export_beam_decode(
         model, buckets=buckets, path=args.out, beam_size=args.nbest,
