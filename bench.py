@@ -545,15 +545,18 @@ def main():
     torch_tput = bench_torch_cpu()
     detail = {
         "batch": B, "frames": T, "d_model": D_MODEL, "layers": LAYERS,
-        "trials_utts_per_sec": jax_samples,
-        "iqr_utts_per_sec": round(jax_iqr, 1),
-        # wallclock trials swing (dispatch jitter through the relayed
-        # backend); the min/max spread qualifies the median honestly —
-        # the headline never uses wallclock when device timing exists
-        "min_max_utts_per_sec": [round(min(jax_samples), 1),
-                                 round(max(jax_samples), 1)],
         "torch_cpu_utts_per_sec": round(torch_tput, 3),
     }
+    if device_ms is None:
+        # wallclock figures are recorded ONLY when no device-lane timing
+        # exists (CPU fallback): through the relayed TPU backend the
+        # timed loop resolves before device execution completes, so the
+        # wallclock "throughput" is a dispatch rate no chip produced —
+        # carrying it next to the honest device number misleads
+        detail["trials_utts_per_sec"] = jax_samples
+        detail["iqr_utts_per_sec"] = round(jax_iqr, 1)
+        detail["min_max_utts_per_sec"] = [round(min(jax_samples), 1),
+                                          round(max(jax_samples), 1)]
     if device_ms is not None:
         # on relayed backends host wall-clock over-reports; the profiler's
         # device-lane timing is the honest per-chip number
@@ -581,12 +584,14 @@ def main():
 
     if os.environ.get("BENCH_CIF", "1") == "1" and within_budget("cif"):
         cif_med, cif_iqr, cif_samples, cif_device_ms = bench_cif()
-        detail["cif_train_utts_per_sec"] = round(cif_med, 1)
-        detail["cif_iqr_utts_per_sec"] = round(cif_iqr, 1)
         if cif_device_ms is not None:
             detail["cif_device_utts_per_sec"] = round(
                 B / (cif_device_ms / 1e3), 1
             )
+            detail["cif_device_ms_per_step"] = round(cif_device_ms, 2)
+        else:
+            detail["cif_train_utts_per_sec"] = round(cif_med, 1)
+            detail["cif_iqr_utts_per_sec"] = round(cif_iqr, 1)
     if os.environ.get("BENCH_DECODE", "1") == "1" and within_budget("decode"):
         detail["beam_decode_rtf"] = round(bench_decode_rtf(), 5)
         if within_budget("decode_bf16"):
@@ -605,15 +610,17 @@ def main():
             detail["streaming_rtf"] = round(s_rtf, 5)
     if os.environ.get("BENCH_ONLINE", "1") == "1" and within_budget("online"):
         on_med, _, _, on_device_ms = bench_online()
-        detail["online_train_utts_per_sec"] = round(on_med, 1)
         if on_device_ms is not None:
             detail["online_device_utts_per_sec"] = round(
                 B / (on_device_ms / 1e3), 1
             )
             detail["online_device_ms_per_step"] = round(on_device_ms, 2)
+        else:
+            detail["online_train_utts_per_sec"] = round(on_med, 1)
     if os.environ.get("BENCH_MOE", "1") == "1" and within_budget("moe"):
         moe_med, moe_device_ms, moe_flops = bench_moe()
-        detail["moe_train_utts_per_sec"] = round(moe_med, 1)
+        if moe_device_ms is None:
+            detail["moe_train_utts_per_sec"] = round(moe_med, 1)
         if moe_device_ms is not None:
             detail["moe_device_ms_per_step"] = round(moe_device_ms, 2)
             detail["moe_device_utts_per_sec"] = round(
@@ -645,11 +652,10 @@ def main():
         detail["ctc_beam_device_speedup"] = round(host_s / max(dev_s, 1e-9), 1)
     # Headline: the device-lane number.  Host wall-clock over-reports
     # severalfold through the axon relay (see README); the profiler's
-    # device time is the honest per-chip throughput.  Wall-clock medians
-    # are demoted to detail for cross-run comparability.
+    # device time is the honest per-chip throughput — wallclock figures
+    # appear in the record ONLY when device timing is unavailable.
     if device_ms is not None:
         headline = detail["device_utts_per_sec"]
-        detail["wallclock_utts_per_sec"] = round(jax_med, 1)
     else:
         headline = round(jax_med, 3)
     result = {

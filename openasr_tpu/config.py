@@ -221,10 +221,23 @@ def validate_moe(model_cfg: Mapping) -> None:
         path = f"{prefix}.moe"
         num = int(moe.get("num_experts", 0) or 0)
         if num < 1:
+            if "num_experts" in moe:
+                # explicit num_experts: 0 is the documented "MoE disabled"
+                # spelling — the builders and Framework.moe_config() run
+                # dense for it, so config load must accept it too (warn so
+                # a typo'd 0 in an intended-MoE config is still visible)
+                import warnings
+
+                warnings.warn(
+                    f"config: {path}.num_experts="
+                    f"{moe.get('num_experts')!r} disables MoE — the "
+                    f"model runs dense FFNs; remove the moe section to "
+                    f"silence this"
+                )
+                continue
             raise ValueError(
-                f"config: {path}.num_experts must be >= 1 "
-                f"(got {moe.get('num_experts')!r}); remove the moe "
-                f"section entirely to run a dense FFN"
+                f"config: {path} is missing num_experts (>= 1 enables "
+                f"MoE, 0 runs dense); got keys {sorted(moe)}"
             )
         mtype = model_cfg.get("type")
         if mtype is not None:

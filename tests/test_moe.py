@@ -471,6 +471,11 @@ def test_validate_config_rejects_bad_moe():
     good = {"num_experts": 4, "top_k": 2, "every": 2}
     validate_config(model_with(good))  # sanity: flagship shape passes
 
+    # explicit num_experts: 0 is the documented "disabled" spelling — the
+    # builders run dense for it, so config load accepts it (with a warning)
+    with pytest.warns(UserWarning, match="disables MoE"):
+        validate_config(model_with({"num_experts": 0}))
+    # ...but a moe section that never says how many experts is malformed
     with pytest.raises(ValueError, match="num_experts"):
         validate_config(model_with({"top_k": 2}))
     with pytest.raises(ValueError, match="every"):
