@@ -60,6 +60,11 @@ def get_args(argv=None):
     parser.add_argument("--ctc_beam", type=int, default=0,
                         help="use CTC prefix beam search with this width "
                              "(conv-ctc only; 0 = greedy)")
+    parser.add_argument("--cutoff_top_n", type=int, default=40,
+                        help="CTC beam frame-candidate cutoff: keep the "
+                             "top-n symbols per frame (blank always kept)")
+    parser.add_argument("--cutoff_logp", type=float, default=-20.0,
+                        help="CTC beam frame-candidate log-prob floor")
     parser.add_argument("--lm_pkg", type=str, default=None,
                         help="LSTM LM package for shallow fusion")
     parser.add_argument("--lm_weight", type=float, default=0.0)
@@ -215,10 +220,12 @@ def main(argv=None):
             ctc_beam_device_fn = partial(
                 ctc_prefix_beam_device,
                 blank=tokenizer.unit_num() - 1, beam=args.ctc_beam,
+                cutoff_top_n=args.cutoff_top_n,
+                cutoff_logp=args.cutoff_logp,
                 **ctx_kw,
             )
             if lm is not None:
-                from openasr_tpu.models.lm import LSTMLM, TransformerLM
+                from openasr_tpu.models.lm import make_lm_step_spec
 
                 # ONE step closure for every batch (it is a static jit
                 # arg — a fresh closure per batch would retrace), and it
@@ -226,42 +233,34 @@ def main(argv=None):
                 # traced jit argument, one shared device copy instead of
                 # constants baked into every shape-bucket executable
                 # (same rule as the attention beam_fn below)
-                lm_module = lm.module
-                lm_is_tf = isinstance(lm_module, TransformerLM)
-                lm_method = TransformerLM.step if lm_is_tf else LSTMLM.step
-
-                def lm_step_fn(lm_p, tokens, cache):
-                    return lm_module.apply(
-                        {"params": lm_p}, tokens, cache, method=lm_method
-                    )
+                lm_spec = make_lm_step_spec(lm)
 
                 def ctc_beam_device_fn(log_probs, len_logits,
                                        _beam=args.ctc_beam,
                                        _w=args.lm_weight):
                     bb = int(log_probs.shape[0]) * _beam
-                    if lm_is_tf:
-                        # ≤ one LM token per encoder frame, + the <sos>
-                        init_cache = lm_module.apply(
-                            {"params": lm.params}, bb,
-                            int(log_probs.shape[1]) + 1,
-                            method=TransformerLM.init_step_cache,
-                        )
-                    else:
-                        init_cache = lm_module.apply(
-                            {"params": lm.params}, bb,
-                            method=LSTMLM.init_carries,
-                        )
+                    # ≤ one LM token per encoder frame, + the <sos>
+                    init_cache = lm_spec["init_cache_fn"](
+                        bb, int(log_probs.shape[1]) + 1
+                    )
                     return ctc_prefix_beam_device(
                         log_probs, len_logits,
                         blank=tokenizer.unit_num() - 1, beam=_beam,
-                        lm_step_fn=lm_step_fn, init_lm_cache=init_cache,
-                        lm_weight=_w, lm_params=lm.params, **ctx_kw,
+                        cutoff_top_n=args.cutoff_top_n,
+                        cutoff_logp=args.cutoff_logp,
+                        lm_step_fn=lm_spec["step_fn"],
+                        init_lm_cache=init_cache,
+                        lm_weight=_w, lm_params=lm_spec["params"],
+                        **ctx_kw,
                     )
         else:
             from openasr_tpu.ops.prefix_beam import make_decoder
 
             ctc_decoder = make_decoder(
-                beam_width=args.ctc_beam, blank_id=tokenizer.unit_num() - 1
+                beam_width=args.ctc_beam,
+                blank_id=tokenizer.unit_num() - 1,
+                cutoff_top_n=args.cutoff_top_n,
+                cutoff_logp=args.cutoff_logp,
             )
 
     # Decode functions are jit-wrapped ONCE; jax.jit then caches one

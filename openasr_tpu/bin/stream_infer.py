@@ -58,6 +58,19 @@ def get_args(argv=None):
                              "on-device beam state carries across "
                              "chunks (exactly the one-shot prefix beam "
                              "over all frames so far); 0 = greedy")
+    parser.add_argument("--lm_pkg", type=str, default=None,
+                        help="LM package for shallow fusion in the "
+                             "streaming prefix beam (needs "
+                             "--partial_beam N): the LM cache carries "
+                             "across chunks like the rest of the beam "
+                             "state")
+    parser.add_argument("--lm_weight", type=float, default=0.0)
+    parser.add_argument("--context_file", default=None,
+                        help="hotword biasing in the streaming prefix "
+                             "beam (needs --partial_beam N): one phrase "
+                             "per line, Aho-Corasick matched, counters "
+                             "carry across chunks")
+    parser.add_argument("--context_weight", type=float, default=2.0)
     parser.add_argument("--rescore", action="store_true", default=False,
                         help="final attention beam pass over the "
                              "accumulated encoder states (two-pass "
@@ -139,6 +152,50 @@ def main(argv=None):
         os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
         fd = open(out_path, "w", encoding="utf8")
 
+    # LM fusion / hotword biasing ride the streaming prefix beam only —
+    # the greedy and rescore paths have no carryable fusion state, so
+    # fail loudly instead of silently decoding unfused/unbiased
+    lm_fusion = None
+    if args.lm_pkg and args.lm_weight != 0.0:
+        if args.partial_beam <= 0:
+            raise SystemExit(
+                "--lm_pkg shallow fusion in streaming decoding needs "
+                "--partial_beam N > 0 (the beam carries the LM cache "
+                "across chunks; greedy partials have no fusion hook)"
+            )
+        from openasr_tpu.models.lm import make_lm_step_spec
+
+        lm_pkg = load_package(args.lm_pkg)
+        lm_model_pkg = lm_pkg["model"] if "model" in lm_pkg else lm_pkg
+        lm_type = lm_model_pkg.get("model_type") or "lstm_lm"
+        lm = get_model_class(lm_type).create_model(
+            Config(lm_model_pkg["configs"])
+        )
+        lm.restore(lm_model_pkg)
+        lm_fusion = dict(make_lm_step_spec(lm), weight=args.lm_weight)
+        logging.info("streaming shallow fusion with %s (%s, weight %.2f)",
+                     args.lm_pkg, lm_type, args.lm_weight)
+    context_tables = None
+    if args.context_file:
+        if args.partial_beam <= 0:
+            raise SystemExit(
+                "--context_file hotword biasing in streaming decoding "
+                "needs --partial_beam N > 0 (the beam carries the "
+                "phrase-match counters across chunks)"
+            )
+        from openasr_tpu.data.tokenizer import load_context_phrases
+        from openasr_tpu.ops.ctc_beam_device import build_context_tables
+
+        try:
+            phrases = load_context_phrases(tokenizer, args.context_file)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        context_tables = build_context_tables(
+            phrases, tokenizer.unit_num()
+        )
+        logging.info("streaming hotword biasing: %d phrases, weight %.2f",
+                     phrases.shape[0], args.context_weight)
+
     rescore_fn = None
     if args.rescore:
         import jax
@@ -167,7 +224,9 @@ def main(argv=None):
         t_first = time.time()
         hyps, enc, enc_lens = rec.decode_waves(
             inputs, lengths, on_partial=on_partial,
-            partial_beam=args.partial_beam,
+            partial_beam=args.partial_beam, lm_fusion=lm_fusion,
+            context_tables=context_tables,
+            context_weight=args.context_weight,
         )
         # decode_waves runs ceil(padded_width / unit) device steps — the
         # collate's shape quantization can pad past max(lengths), so

@@ -134,6 +134,18 @@ class TransformerLM(nn.Module):
         """Per-layer KV cache [B, max_len, H, Dh] + position index, for
         `step`.  max_len bounds the stream (decode lengths are far below
         the PE table's 5000)."""
+        if max_len > 5000:
+            # step's PE gather clamps at the 5000-row table — rows past it
+            # would silently reuse PE[4999] and diverge from the batch
+            # forward (which itself fails loudly past 5000).  Refuse the
+            # cache size instead of silently breaking the exactness
+            # contract.
+            raise ValueError(
+                f"TransformerLM.init_step_cache: max_len={max_len} "
+                f"exceeds the 5000-row positional-encoding table; decode "
+                f"in windows below it (the batch forward has the same "
+                f"bound)"
+            )
         head_dim = self.d_model // self.nhead
         zeros = jnp.zeros((batch, max_len, self.nhead, head_dim),
                           self.dtype)
@@ -260,6 +272,51 @@ class TransformerLMModel(_LMFramework):
             {"params": rng, "dropout": rng}, jnp.zeros((2, 8), jnp.int32)
         )
         return cls(module, variables["params"], configs)
+
+
+def make_lm_step_spec(lm) -> dict:
+    """Process-wide, param-riding LM stepping spec for the decode CLIs
+    and the streaming beam: dict(step_fn, init_cache_fn, params).
+
+    step_fn (lm_params, tokens, cache) -> (log_probs, cache) closes over
+    the MODULE only, so the weights ride as ONE traced jit argument
+    instead of being constant-folded into every shape-bucket executable
+    — and the closure itself is a static jit key, so build the spec
+    ONCE per LM, not per batch (a fresh closure per call would
+    retrace).  init_cache_fn(bb, max_tokens) sizes the cache for bb
+    beam rows and up to max_tokens LM steps (the KV budget for a
+    transformer LM; ignored by the stateless-size LSTM carries).
+
+    Dispatches on the LM type like make_lm_fusion."""
+    lm_module = lm.module if hasattr(lm, "module") else lm
+    lm_host_params = lm.params
+
+    if isinstance(lm_module, TransformerLM):
+        def step_fn(lm_p, tokens, cache):
+            return lm_module.apply(
+                {"params": lm_p}, tokens, cache,
+                method=TransformerLM.step,
+            )
+
+        def init_cache_fn(bb, max_tokens):
+            return lm_module.apply(
+                {"params": lm_host_params}, int(bb), int(max_tokens),
+                method=TransformerLM.init_step_cache,
+            )
+    else:
+        def step_fn(lm_p, tokens, cache):
+            return lm_module.apply(
+                {"params": lm_p}, tokens, cache, method=LSTMLM.step
+            )
+
+        def init_cache_fn(bb, max_tokens):
+            return lm_module.apply(
+                {"params": lm_host_params}, int(bb),
+                method=LSTMLM.init_carries,
+            )
+
+    return {"step_fn": step_fn, "init_cache_fn": init_cache_fn,
+            "params": lm_host_params}
 
 
 def make_lm_fusion(lm, lm_params, bb: int, max_len: int = 512):

@@ -330,7 +330,8 @@ class StreamingRecognizer:
     # ------------------------------------------------------ host driving
 
     def decode_waves(self, inputs, lengths, on_partial=None,
-                     partial_beam: int = 0):
+                     partial_beam: int = 0, lm_fusion=None,
+                     context_tables=None, context_weight: float = 0.0):
         """Drive a full batch of utterances chunk by chunk (host loop) and
         CTC-decode incrementally.  inputs: [B, N] waves (fbank
         models) or [B, T, D] feats (offline); lengths [B].  Returns
@@ -345,7 +346,19 @@ class StreamingRecognizer:
         partial is exactly what a one-shot prefix beam over all frames
         so far would produce (bit-identical; chunk boundaries don't
         exist in the recursion), and the final hypotheses are the
-        utterance-level prefix-beam 1-best."""
+        utterance-level prefix-beam 1-best.
+
+        With partial_beam > 0 the beam also carries LM shallow fusion
+        and hotword biasing across chunks (the LM cache and phrase
+        counters are per-beam state like pb/pnb):
+
+          lm_fusion: dict(step_fn=(lm_params, tokens, cache) ->
+            (log_probs, cache), init_cache_fn=(bb, max_tokens) -> cache,
+            params=pytree, weight=float, sos_id=int) — build the step
+            closure ONCE per process (it is a static jit key; a fresh
+            closure per call would retrace).
+          context_tables/context_weight: from
+            ops.ctc_beam_device.build_context_tables."""
         inputs = np.asarray(inputs)
         lengths = np.asarray(lengths, np.int64)
         b = inputs.shape[0]
@@ -375,14 +388,40 @@ class StreamingRecognizer:
             )
 
         beam_state = None
+        beam_step_kw = {}
         if partial_beam > 0:
             from openasr_tpu.ops.ctc_beam_device import (
                 ctc_beam_stream_init,
                 ctc_beam_stream_step,
             )
 
+            init_kw = {}
+            if lm_fusion is not None and lm_fusion.get("weight", 0.0):
+                max_tokens = n_chunks * self.chunk
+                init_kw = {
+                    "lm_step_fn": lm_fusion["step_fn"],
+                    "init_lm_cache": lm_fusion["init_cache_fn"](
+                        b * partial_beam, max_tokens + 1
+                    ),
+                    "lm_params": lm_fusion["params"],
+                    "sos_id": int(lm_fusion.get("sos_id", 1)),
+                }
+                beam_step_kw.update(
+                    lm_step_fn=lm_fusion["step_fn"],
+                    lm_weight=float(lm_fusion["weight"]),
+                    lm_params=lm_fusion["params"],
+                )
+            if context_tables is not None and context_weight != 0.0:
+                init_kw["num_phrases"] = int(
+                    np.shape(context_tables["plen"])[0]
+                )
+                beam_step_kw.update(
+                    context_tables=context_tables,
+                    context_weight=float(context_weight),
+                )
             beam_state = ctc_beam_stream_init(
-                b, partial_beam, max_frames=n_chunks * self.chunk
+                b, partial_beam, max_frames=n_chunks * self.chunk,
+                **init_kw,
             )
 
         state = self.init_state(b)
@@ -401,7 +440,7 @@ class StreamingRecognizer:
                 )
                 beam_state, (btoks, blens, _) = ctc_beam_stream_step(
                     beam_state, log_probs, jnp.asarray(valid),
-                    blank=blank, beam=partial_beam,
+                    blank=blank, beam=partial_beam, **beam_step_kw,
                 )
                 # fetch only the 1-best row — the full [B, N, max_frames]
                 # snapshot would move O(chunks * N * max_frames) ints to

@@ -416,11 +416,28 @@ def test_exact_topn_candidates_on_ties():
 
 # --------------------------------------------------- contextual biasing
 
-def _bias_oracle(lp, length, blank, beam, phrases, w):
+def _kmp_fail(ph):
+    n = len(ph)
+    fail = [0] * (n + 1)
+    k = 0
+    for m in range(1, n):
+        while k and ph[m] != ph[k]:
+            k = fail[k]
+        if ph[m] == ph[k]:
+            k += 1
+        fail[m + 1] = k
+    return fail
+
+
+def _bias_oracle(lp, length, blank, beam, phrases, w,
+                 fail_links=True):
     """From-scratch python prefix beam with advance/rollback boosting:
-    match state per (prefix, phrase), +w per advanced token, rollback on
-    break (restart counts the breaking char), completed phrases keep
-    their boost and reset."""
+    match state per (prefix, phrase), total boost =
+    w * (completions * plen + current partial match).  fail_links=True
+    is the TRUE Aho-Corasick semantic (a broken/completed match keeps
+    the re-usable matched prefix via the KMP failure function — the
+    device implementation); False is the restart-at-0 approximation
+    (kept only to prove the two differ on self-overlapping phrases)."""
     import math
 
     def log_add(a, b_):
@@ -431,23 +448,31 @@ def _bias_oracle(lp, length, blank, beam, phrases, w):
         m = max(a, b_)
         return m + math.log1p(math.exp(-abs(a - b_)))
 
+    fails = [_kmp_fail(ph) for ph in phrases]
+
     def match_of(prefix):
         # replay: deterministic function of the prefix
-        m = [0] * len(phrases)
         bias = 0.0
-        for c in prefix:
-            for p, ph in enumerate(phrases):
-                if m[p] < len(ph) and ph[m[p]] == c:
-                    m[p] += 1
-                    bias += w
-                    if m[p] == len(ph):
-                        m[p] = 0
-                elif ph[0] == c:
-                    bias += w * (1 - m[p])
-                    m[p] = 1
+        for p, ph in enumerate(phrases):
+            n = len(ph)
+            fail = fails[p]
+            m = comp = 0
+            for c in prefix:
+                if fail_links:
+                    while m > 0 and ph[m] != c:
+                        m = fail[m]
+                    m = m + 1 if ph[m] == c else 0
                 else:
-                    bias -= w * m[p]
-                    m[p] = 0
+                    if ph[m] == c:
+                        m += 1
+                    elif ph[0] == c:
+                        m = 1
+                    else:
+                        m = 0
+                if m == n:
+                    comp += 1
+                    m = fail[n] if fail_links else 0
+            bias += w * (comp * n + m)
         return bias
 
     v = lp.shape[1]
@@ -668,3 +693,170 @@ def test_stream_partials_are_usable_midstream():
         )
         got = tuple(int(c) for c in np.asarray(toks)[0, 0, : np.asarray(lens)[0, 0]])
         assert got == ref[0][0][0]
+
+
+def test_failure_links_exact_on_self_overlapping_phrases():
+    """Self-overlapping phrases ("ABAB", reduplications like "AA"): the
+    device beam follows true Aho-Corasick failure links — a completed or
+    broken match keeps its re-usable matched prefix — and matches the
+    from-scratch AC python oracle where the restart-at-0 approximation
+    provably under-boosts (round-4 weak #4)."""
+    from openasr_tpu.ops.ctc_beam_device import build_context_tables
+
+    v, blank, beam, w = 6, 5, 5, 1.0
+    phrases = [(1, 2, 1, 2), (3, 3)]
+
+    # frames strongly favoring 1 2 1 2 1 2 (with blanks between) so the
+    # overlapping phrase completes twice, and a 3 3 3 tail
+    seq = [1, blank, 2, blank, 1, blank, 2, blank, 1, blank, 2, blank,
+           3, blank, 3, blank, 3]
+    t = len(seq)
+    lp = np.full((1, t, v), -9.0, np.float32)
+    for i, c in enumerate(seq):
+        lp[0, i, c] = -0.05
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+
+    pad = np.full((2, 4), -1, np.int32)
+    for i, ph in enumerate(phrases):
+        pad[i, : len(ph)] = ph
+
+    toks, lens, scores = ctc_prefix_beam_device(
+        lp, np.asarray([t], np.int32), blank=blank, beam=beam,
+        context_phrases=pad, context_weight=w,
+    )
+    toks, lens, scores = map(np.asarray, (toks, lens, scores))
+    dev_top = tuple(int(c) for c in toks[0, 0, : lens[0, 0]])
+
+    ac = _bias_oracle(lp[0], t, blank, beam, phrases, w, fail_links=True)
+    restart = _bias_oracle(lp[0], t, blank, beam, phrases, w,
+                           fail_links=False)
+    assert dev_top == ac[0][0]
+    assert np.isclose(scores[0, 0], ac[0][1], atol=3e-3)
+    # the approximation provably differs here: "121212" completes 1212
+    # twice only via the failure link (restart loses the carried "12"),
+    # and "333" re-uses the middle 3 for two overlapping "33" matches
+    ac_scores = dict(ac)
+    restart_scores = dict(restart)
+    assert not np.isclose(
+        ac_scores[dev_top], restart_scores[dev_top], atol=1e-3
+    ), "test vector no longer distinguishes failure links from restart"
+
+
+def test_build_context_tables_transitions():
+    """The host-precomputed automaton: spot-check the KMP transition
+    table on ABAB (the canonical self-overlap)."""
+    from openasr_tpu.ops.ctc_beam_device import build_context_tables
+
+    tab = build_context_tables(np.asarray([[1, 2, 1, 2]], np.int32), 5)
+    assert tab["plen"][0] == 4
+    assert tab["fail"][0] == 2  # after ABAB, carried partial is AB
+    j1, j2 = tab["j_of"][1, 0], tab["j_of"][2, 0]
+    assert (j1, j2) == (0, 1)  # first occurrences
+    tr = tab["trans"][0]
+    # state 3 (ABA) on A: falls to fail(3)=1 ("A"), A doesn't extend "A"
+    # -> falls to 0 -> A matches -> 1
+    assert tr[3, j1] == 1
+    # state 2 (AB) on A -> 3; state 3 on B -> 4 (complete)
+    assert tr[2, j1] == 3 and tr[3, j2] == 4
+    # state 1 (A) on A: fail(1)=0, A matches -> stays 1
+    assert tr[1, j1] == 1
+    # not-in-phrase column: always 0
+    assert (tab["trans"][0, :, 4] == 0).all()
+    # token 3 is not in the phrase
+    assert tab["j_of"][3, 0] == 4
+
+
+def test_stream_fusion_and_biasing_equal_one_shot():
+    """Chunked streaming beam with LM fusion AND hotword biasing ON is
+    bit-identical to the one-shot fused+biased search (round-4
+    directive #3): the LM cache and phrase-match counters carry across
+    chunks like pb/pnb."""
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.models.lm import make_lm_fusion
+    from openasr_tpu.ops.ctc_beam_device import (
+        build_context_tables,
+        ctc_beam_stream_init,
+        ctc_beam_stream_step,
+    )
+
+    b, t, v, beam = 2, 18, 8, 4
+    blank, w_lm, w_ctx = v - 1, 0.5, 0.7
+    lm = get_model_class("lstm_lm").create_model(Config({
+        "vocab_size": v - 1, "d_model": 16, "n_layers": 1,
+        "dropout_rate": 0.0,
+    }))
+    phrases = np.asarray([[1, 2, 1, -1], [4, 4, -1, -1]], np.int32)
+    tables = build_context_tables(phrases, v)
+    lp = _random_log_probs(b, t, v, seed=41, peaky=1.0)
+    lengths = np.asarray([t, t - 5], np.int32)
+
+    lm_step_fn, init_cache = make_lm_fusion(lm, None, b * beam)
+
+    def lm_step_with_params(lm_p, tokens, cache):
+        # the params-riding convention of infer.py / the export path
+        from openasr_tpu.models.lm import LSTMLM
+
+        return lm.module.apply({"params": lm_p}, tokens, cache,
+                               method=LSTMLM.step)
+
+    ref = ctc_prefix_beam_device(
+        lp, lengths, blank=blank, beam=beam,
+        lm_step_fn=lm_step_with_params, init_lm_cache=init_cache,
+        lm_weight=w_lm, lm_params=lm.params,
+        context_phrases=phrases, context_weight=w_ctx,
+    )
+    ref_t, ref_l, ref_s = map(np.asarray, ref)
+
+    for chunk in (5, 18):
+        state = ctc_beam_stream_init(
+            b, beam, max_frames=t, lm_step_fn=lm_step_with_params,
+            init_lm_cache=init_cache, lm_params=lm.params,
+            num_phrases=phrases.shape[0],
+        )
+        out = None
+        for start in range(0, t, chunk):
+            sl = lp[:, start : start + chunk]
+            valid = (
+                np.arange(start, start + sl.shape[1])[None, :]
+                < lengths[:, None]
+            )
+            state, out = ctc_beam_stream_step(
+                state, sl, valid, blank=blank, beam=beam,
+                lm_step_fn=lm_step_with_params, lm_weight=w_lm,
+                lm_params=lm.params, context_tables=tables,
+                context_weight=w_ctx,
+            )
+        toks, lens, scores = map(np.asarray, out)
+        np.testing.assert_array_equal(lens, ref_l, err_msg=f"chunk={chunk}")
+        np.testing.assert_allclose(scores, ref_s, atol=1e-5)
+        for i in range(b):
+            for n in range(beam):
+                np.testing.assert_array_equal(
+                    toks[i, n, : lens[i, n]],
+                    ref_t[i, n, : lens[i, n]],
+                    err_msg=f"chunk={chunk} row={i} beam={n}",
+                )
+
+
+def test_stream_capacity_guard_is_loud():
+    """Feeding more valid frames than the beam token buffer holds fails
+    LOUDLY instead of silently dropping hypothesis tail tokens
+    (round-4 weak #6)."""
+    from openasr_tpu.ops.ctc_beam_device import (
+        ctc_beam_stream_init,
+        ctc_beam_stream_step,
+    )
+
+    b, v, beam = 1, 8, 3
+    lp = _random_log_probs(b, 6, v, seed=51, peaky=1.0)
+    state = ctc_beam_stream_init(b, beam, max_frames=8)
+    valid = np.ones((b, 6), bool)
+    state, _ = ctc_beam_stream_step(state, lp, valid, blank=v - 1,
+                                    beam=beam)
+    with pytest.raises(ValueError, match="token buffer"):
+        ctc_beam_stream_step(state, lp, valid, blank=v - 1, beam=beam)
+    # padding frames don't count toward the bound
+    state, _ = ctc_beam_stream_step(
+        state, lp, np.zeros((b, 6), bool), blank=v - 1, beam=beam
+    )

@@ -416,3 +416,265 @@ def test_export_ctc_device_beam_with_biasing(tmp_path):
     )
     np.testing.assert_array_equal(toks, np.asarray(ref_t))
     np.testing.assert_allclose(scores, np.asarray(ref_s), rtol=1e-5)
+
+
+def _small_lm(kind, vocab):
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+
+    if kind == "lstm_lm":
+        cfg = {"vocab_size": vocab, "d_model": 16, "n_layers": 1,
+               "dropout_rate": 0.0}
+    else:
+        cfg = {"vocab_size": vocab, "d_model": 16, "nhead": 2,
+               "num_layers": 1, "dim_feedforward": 32,
+               "dropout_rate": 0.0}
+    return get_model_class(kind).create_model(Config(cfg))
+
+
+def test_export_attention_beam_with_lm_fusion(tmp_path):
+    """kind 'beam' + LM: the artifact's fused n-best equals the live
+    fused beam; LM weights ride as a program INPUT (round-4 directive
+    #2 — AOT serving keeps the accuracy features the live path has)."""
+    import pytest
+
+    model = small_model()
+    lm = _small_lm("lstm_lm", 20)  # attention fusion: LM vocab == model vocab
+    path = str(tmp_path / "beam_lm.aot")
+    export_beam_decode(
+        model, buckets=[(2, 32)], path=path, beam_size=2,
+        max_decode_len=6, platforms=("cpu",), lm=lm, lm_weight=0.4,
+    )
+    dec = ExportedDecoder(path)
+    assert dec.meta["lm"] == {"model_type": "lstm_lm", "lm_weight": 0.4}
+
+    rng = np.random.RandomState(7)
+    feats = rng.randn(2, 32, 20).astype(np.float32)
+    lens = np.array([32, 25], np.int32)
+    ref = model.batch_beam_decode(
+        model.params, feats, lens, beam_size=2, max_decode_len=6,
+        lm=lm, lm_params=lm.params, lm_weight=0.4,
+    )
+    out = dec(model.params, feats, lens, lm_params=lm.params)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(
+        np.asarray(out[2]), np.asarray(ref[2]), rtol=1e-5, atol=1e-5
+    )
+    # fusion actually changes the artifact's scores vs an unfused export
+    unfused = model.batch_beam_decode(
+        model.params, feats, lens, beam_size=2, max_decode_len=6
+    )
+    assert not np.allclose(np.asarray(out[2]), np.asarray(unfused[2]))
+
+    # loud calling-convention guards both ways
+    with pytest.raises(ValueError, match="lm_params"):
+        dec(model.params, feats, lens)
+    nolm_path = str(tmp_path / "beam_nolm.aot")
+    export_beam_decode(model, buckets=[(2, 32)], path=nolm_path,
+                       beam_size=2, max_decode_len=6, platforms=("cpu",))
+    with pytest.raises(ValueError, match="WITHOUT"):
+        ExportedDecoder(nolm_path)(model.params, feats, lens,
+                                   lm_params=lm.params)
+
+
+def test_export_ctc_device_beam_with_lm_and_cutoffs(tmp_path):
+    """kind 'ctc_beam' + transformer LM + custom cutoffs: the artifact
+    reproduces the live fused beam and meta records the cutoffs
+    (round-4 ADVICE: cutoffs were baked-but-unrecorded)."""
+    import jax.numpy as jnp
+
+    from openasr_tpu.models.lm import make_lm_step_spec
+    from openasr_tpu.ops.ctc_beam_device import ctc_prefix_beam_device
+    from openasr_tpu.serving import export_beam_decode as _export
+
+    cfg = Config({
+        "type": "conv-ctc",
+        "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "decoder": {"vocab_size": 12},
+    })
+    model = get_model_class("conv-ctc").create_model(cfg)
+    lm = _small_lm("transformer_lm", 11)
+    path = str(tmp_path / "ctc_beam_lm.aot")
+    _export(model, buckets=[(2, 32)], path=path, beam_size=3,
+            platforms=("cpu",), ctc_device_beam=True,
+            cutoff_top_n=6, cutoff_logp=-9.0, lm=lm, lm_weight=0.5)
+    dec = ExportedDecoder(path)
+    assert dec.meta["cutoff_top_n"] == 6
+    assert dec.meta["cutoff_logp"] == -9.0
+    assert dec.meta["lm"]["model_type"] == "transformer_lm"
+
+    rng = np.random.RandomState(8)
+    feats = rng.randn(2, 32, 20).astype(np.float32)
+    lens = np.array([32, 24], np.int32)
+    toks, tlens, scores = dec(model.params, feats, lens,
+                              lm_params=lm.params)
+
+    logits, len_logits = model.get_logits(model.params, feats, lens)
+    lp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+    spec = make_lm_step_spec(lm)
+    init_cache = spec["init_cache_fn"](2 * 3, int(lp.shape[1]) + 1)
+    ref_t, ref_l, ref_s = ctc_prefix_beam_device(
+        lp, len_logits, blank=11, beam=3, cutoff_top_n=6,
+        cutoff_logp=-9.0, lm_step_fn=spec["step_fn"],
+        init_lm_cache=init_cache, lm_weight=0.5, lm_params=lm.params,
+    )
+    np.testing.assert_array_equal(toks, np.asarray(ref_t))
+    np.testing.assert_array_equal(tlens, np.asarray(ref_l))
+    np.testing.assert_allclose(scores, np.asarray(ref_s), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_export_ctc_kind_refuses_lm(tmp_path):
+    """kind 'ctc' (greedy + log-probs) has no fusion hook — exporting
+    it with an LM must fail loudly, not silently drop fusion."""
+    import pytest
+
+    cfg = Config({
+        "type": "conv-ctc",
+        "add_blk": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "decoder": {"vocab_size": 12},
+    })
+    model = get_model_class("conv-ctc").create_model(cfg)
+    with pytest.raises(ValueError, match="ctc_device_beam"):
+        export_beam_decode(
+            model, buckets=[(2, 32)], path=str(tmp_path / "x.aot"),
+            platforms=("cpu",), lm=_small_lm("lstm_lm", 11),
+            lm_weight=0.5,
+        )
+
+
+def test_export_stream_beam_roundtrip(tmp_path):
+    """The streaming prefix-beam tick exports (ExportedStreamBeam) with
+    LM fusion AND biasing: driving the artifact chunk by chunk equals
+    the live one-shot fused+biased device beam, and the loader replays
+    the loud capacity guard."""
+    import pytest
+
+    from openasr_tpu.models.lm import make_lm_step_spec
+    from openasr_tpu.ops.ctc_beam_device import (
+        build_context_tables,
+        ctc_prefix_beam_device,
+    )
+    from openasr_tpu.serving import ExportedStreamBeam, export_stream_beam
+
+    b, chunk, v, beam, t = 2, 6, 10, 4, 18
+    blank, w_lm, w_ctx = v - 1, 0.5, 1.0
+    lm = _small_lm("lstm_lm", v - 1)
+    phrases = np.asarray([[1, 2, 1, -1]], np.int32)
+    path = str(tmp_path / "stream_beam.aot")
+    export_stream_beam(
+        path, batch=b, beam=beam, chunk=chunk, max_frames=t,
+        vocab_size=v, blank=blank, platforms=("cpu",),
+        lm=lm, lm_weight=w_lm, context_phrases=phrases,
+        context_weight=w_ctx,
+    )
+    sb = ExportedStreamBeam(path)
+    assert sb.meta["lm"]["model_type"] == "lstm_lm"
+    assert sb.meta["context_num_phrases"] == 1
+
+    rng = np.random.RandomState(9)
+    logits = rng.randn(b, t, v).astype(np.float32) * 2.0
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    lengths = np.asarray([t, t - 4], np.int32)
+
+    state = sb.init_state(lm_params=lm.params)
+    out = None
+    for start in range(0, t, chunk):
+        sl = lp[:, start : start + chunk]
+        valid = (
+            np.arange(start, start + chunk)[None, :] < lengths[:, None]
+        )
+        state, out = sb.step(state, sl, valid, lm_params=lm.params)
+    toks, lens, scores = map(np.asarray, out)
+
+    spec = make_lm_step_spec(lm)
+    init_cache = spec["init_cache_fn"](b * beam, t + 1)
+    ref_t, ref_l, ref_s = ctc_prefix_beam_device(
+        lp, lengths, blank=blank, beam=beam,
+        lm_step_fn=spec["step_fn"], init_lm_cache=init_cache,
+        lm_weight=w_lm, lm_params=spec["params"],
+        context_phrases=phrases, context_weight=w_ctx,
+    )
+    ref_t, ref_l, ref_s = map(np.asarray, (ref_t, ref_l, ref_s))
+    np.testing.assert_array_equal(lens, ref_l)
+    np.testing.assert_allclose(scores, ref_s, atol=1e-5)
+    for i in range(b):
+        for n in range(beam):
+            np.testing.assert_array_equal(
+                toks[i, n, : lens[i, n]], ref_t[i, n, : lens[i, n]]
+            )
+
+    # capacity guard survives the export boundary
+    with pytest.raises(ValueError, match="token buffer"):
+        sb.step(state, lp[:, :chunk], np.ones((b, chunk), bool),
+                lm_params=lm.params)
+
+
+def test_export_decode_cli_stream_beam(tmp_path):
+    """tools/export_decode.py --stream_beam exports the streaming
+    prefix-beam tick with LM fusion + biasing through the real CLI, and
+    the artifact drives end to end."""
+    import os
+    import sys
+
+    import numpy as np
+
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.serving import ExportedStreamBeam
+    from openasr_tpu.utils.checkpoint import save_package
+
+    from test_streaming import _speech_cfg
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import export_decode as export_decode_cli
+
+    cfg = _speech_cfg({"chunk": 4, "left_chunks": 2}, online=False)
+    model = get_model_class(cfg.type).create_model(cfg)
+    pkg_path = str(tmp_path / "last.pkg")
+    save_package({"model": model.package()}, pkg_path)
+    vocab_path = tmp_path / "vocab.txt"
+    vocab_path.write_text("a\nb\nc\nd\n")
+    hot = tmp_path / "hot.txt"
+    hot.write_text("a b\n")
+    lm = _small_lm("lstm_lm", 7)
+    lm_path = str(tmp_path / "lm.pkg")
+    save_package({"model": lm.package()}, lm_path)
+
+    out = str(tmp_path / "stream_beam.aot")
+    export_decode_cli.main([
+        "--model_type", cfg.type, "--model_pkg", pkg_path,
+        "--vocab_path", str(vocab_path), "--out", out, "--add_blk",
+        "--platforms", "cpu", "--stream_beam", "3",
+        "--stream_beam_batch", "2", "--max_frames", "32",
+        "--lm_pkg", lm_path, "--lm_weight", "0.4",
+        "--context_file", str(hot), "--context_weight", "1.5",
+    ])
+    sb = ExportedStreamBeam(out)
+    v = sb.meta["vocab_size"]
+    assert sb.meta["chunk"] == 4 and sb.meta["beam"] == 3
+    assert sb.meta["lm"]["lm_weight"] == 0.4
+    assert sb.meta["context_num_phrases"] == 1
+
+    rng = np.random.RandomState(1)
+    logits = rng.randn(2, 4, v).astype(np.float32)
+    lp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    state = sb.init_state(lm_params=lm.params)
+    state, (toks, lens, scores) = sb.step(
+        state, lp, np.ones((2, 4), bool), lm_params=lm.params
+    )
+    assert np.asarray(toks).shape == (2, 3, 32)
+    s = np.asarray(scores)
+    assert np.all(np.diff(s, axis=1) <= 1e-6)

@@ -330,3 +330,24 @@ def test_transformer_lm_step_with_divergent_row_positions():
         ref = replay(p, next_tokens[bi])
         np.testing.assert_allclose(lp[bi], ref, atol=2e-5,
                                    err_msg=f"row {bi} prefix {p}")
+
+
+def test_transformer_lm_step_cache_refuses_pe_overflow():
+    """init_step_cache rejects max_len past the 5000-row PE table: step's
+    per-row PE gather clamps there, so rows beyond would silently reuse
+    PE[4999] and diverge from the batch forward (which fails loudly)."""
+    import pytest
+
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+
+    lm = get_model_class("transformer_lm").create_model(Config({
+        "vocab_size": 12, "d_model": 16, "nhead": 2, "num_layers": 1,
+        "dim_feedforward": 32, "dropout_rate": 0.0,
+    }))
+    mod = lm.module
+    with pytest.raises(ValueError, match="positional-encoding"):
+        mod.apply({"params": lm.params}, 2, 5001,
+                  method=type(mod).init_step_cache)
+    mod.apply({"params": lm.params}, 2, 5000,
+              method=type(mod).init_step_cache)  # at the bound: fine

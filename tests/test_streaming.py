@@ -362,3 +362,61 @@ def test_streaming_beam_partials_match_batch_prefix_beam():
         assert [int(c) for c in hyps[bi]] == ref_best, (
             bi, hyps[bi], ref_best
         )
+
+
+def test_streaming_beam_partials_with_fusion_and_biasing():
+    """decode_waves(partial_beam=N, lm_fusion=..., context_tables=...):
+    the streamed FUSED + BIASED prefix-beam 1-best equals the one-shot
+    fused+biased ctc_prefix_beam_device over the batch forward's
+    log-probs (round-4 directive #3: streaming partials keep the
+    accuracy features the offline beam has)."""
+    from openasr_tpu.config import Config
+    from openasr_tpu.models import get_model_class
+    from openasr_tpu.models.lm import make_lm_step_spec
+    from openasr_tpu.ops.ctc_beam_device import (
+        build_context_tables,
+        ctc_prefix_beam_device,
+    )
+
+    cfg = _speech_cfg({"chunk": 4, "left_chunks": 2}, online=False)
+    model = get_model_class(cfg.type).create_model(cfg)
+    rec = StreamingRecognizer(model)
+    vocab = int(cfg.decoder["vocab_size"])
+    blank = vocab - 1
+
+    lm = get_model_class("lstm_lm").create_model(Config({
+        "vocab_size": vocab - 1, "d_model": 16, "n_layers": 1,
+        "dropout_rate": 0.0,
+    }))
+    spec = make_lm_step_spec(lm)
+    phrases = np.asarray([[4, 5, 4, -1]], np.int32)
+    tables = build_context_tables(phrases, vocab)
+    w_lm, w_ctx, beam = 0.5, 1.5, 4
+
+    rng = np.random.RandomState(6)
+    feats = (rng.randn(2, 40, 20) * 0.5).astype(np.float32)
+    lengths = np.asarray([40, 28], np.int32)
+
+    hyps, _, _ = rec.decode_waves(
+        feats, lengths, partial_beam=beam,
+        lm_fusion=dict(spec, weight=w_lm),
+        context_tables=tables, context_weight=w_ctx,
+    )
+
+    logits, len_logits = model.get_logits(model.params, feats, lengths)
+    import jax
+
+    lp = jax.nn.log_softmax(jnp.asarray(logits, jnp.float32), axis=-1)
+    init_cache = spec["init_cache_fn"](2 * beam, int(lp.shape[1]) + 1)
+    ref_t, ref_l, _ = ctc_prefix_beam_device(
+        lp, len_logits, blank=blank, beam=beam,
+        lm_step_fn=spec["step_fn"], init_lm_cache=init_cache,
+        lm_weight=w_lm, lm_params=spec["params"],
+        context_phrases=phrases, context_weight=w_ctx,
+    )
+    ref_t, ref_l = np.asarray(ref_t), np.asarray(ref_l)
+    for bi in range(2):
+        ref_best = [int(c) for c in ref_t[bi, 0, : ref_l[bi, 0]]]
+        assert [int(c) for c in hyps[bi]] == ref_best, (
+            bi, hyps[bi], ref_best
+        )

@@ -67,7 +67,27 @@ def main(argv=None):
     p.add_argument("--stream_batches", default="1,8",
                    help="comma list of stream batch sizes (--streaming)")
     p.add_argument("--max_frames", type=int, default=5000,
-                   help="positional-encoding capacity for --streaming")
+                   help="positional-encoding capacity for --streaming / "
+                        "token-buffer capacity for --stream_beam")
+    p.add_argument("--lm_pkg", default=None,
+                   help="LM package baked into the artifact for shallow "
+                        "fusion (attention beam, --ctc_device_beam, and "
+                        "--stream_beam kinds); LM weights stay a program "
+                        "INPUT — pass them to the loader per checkpoint")
+    p.add_argument("--lm_weight", type=float, default=0.0)
+    p.add_argument("--cutoff_top_n", type=int, default=40,
+                   help="device-beam frame-candidate top-n, baked + "
+                        "recorded in meta")
+    p.add_argument("--cutoff_logp", type=float, default=-20.0,
+                   help="device-beam frame-candidate log-prob floor, "
+                        "baked + recorded in meta")
+    p.add_argument("--stream_beam", type=int, default=0,
+                   help="N>0: export the streaming prefix-beam tick "
+                        "(ExportedStreamBeam, width N) using the "
+                        "model's streaming chunk geometry and vocab — "
+                        "composes with --lm_pkg/--context_file")
+    p.add_argument("--stream_beam_batch", type=int, default=8,
+                   help="stream batch size for --stream_beam")
     args = p.parse_args(argv)
 
     tokenizer = CharTokenizer(args.vocab_path, add_blk=args.add_blk)
@@ -86,6 +106,59 @@ def main(argv=None):
         configs, dtype=compute_dtype
     )
     model.restore(model_pkg)
+
+    lm = None
+    if args.lm_pkg and args.lm_weight != 0.0:
+        lm_pkg = load_package(args.lm_pkg)
+        lm_model_pkg = lm_pkg["model"] if "model" in lm_pkg else lm_pkg
+        lm_type = lm_model_pkg.get("model_type") or "lstm_lm"
+        lm = get_model_class(lm_type).create_model(
+            Config(lm_model_pkg["configs"])
+        )
+        lm.restore(lm_model_pkg)
+
+    ctx_phrases = None
+    if args.context_file:
+        if not (args.ctc_device_beam or args.stream_beam > 0):
+            raise SystemExit(
+                "--context_file biasing requires --ctc_device_beam or "
+                "--stream_beam N"
+            )
+        from openasr_tpu.data.tokenizer import load_context_phrases
+
+        try:
+            ctx_phrases = load_context_phrases(tokenizer,
+                                               args.context_file)
+        except ValueError as e:
+            raise SystemExit(str(e))
+
+    if args.stream_beam > 0:
+        from openasr_tpu.serving import export_stream_beam
+        from openasr_tpu.streaming import StreamingRecognizer
+
+        # the chunk geometry comes from the model's own streaming
+        # config, so the tick consumes exactly what the streaming-step
+        # artifact emits per tick
+        rec = StreamingRecognizer(model, use_jit=False)
+        export_stream_beam(
+            args.out, batch=args.stream_beam_batch,
+            beam=args.stream_beam, chunk=rec.chunk,
+            max_frames=args.max_frames,
+            vocab_size=tokenizer.unit_num(),
+            blank=tokenizer.unit_num() - 1,
+            platforms=tuple(args.platforms.split(",")),
+            cutoff_top_n=args.cutoff_top_n,
+            cutoff_logp=args.cutoff_logp,
+            lm=lm, lm_weight=args.lm_weight,
+            context_phrases=ctx_phrases,
+            context_weight=args.context_weight,
+        )
+        print(
+            f"exported streaming prefix-beam tick (batch="
+            f"{args.stream_beam_batch}, beam={args.stream_beam}, "
+            f"chunk={rec.chunk}) -> {args.out}"
+        )
+        return
 
     if args.streaming:
         from openasr_tpu.serving import export_streaming_step
