@@ -46,11 +46,14 @@ def get_args(argv=None):
     parser.add_argument("--add_blk", action="store_true", default=False)
     parser.add_argument("--split_token", action="store_true", default=False)
     parser.add_argument("--context_file", default=None,
-                        help="hotword biasing for --ctc_beam_device: a "
-                             "text file with one phrase per line "
-                             "(tokenized like transcripts); tokens that "
-                             "advance a phrase match get boosted by "
-                             "--context_weight, broken matches roll back")
+                        help="hotword biasing (Aho-Corasick): a text "
+                             "file with one phrase per line (tokenized "
+                             "like transcripts); tokens that advance a "
+                             "phrase match get boosted by "
+                             "--context_weight, broken matches roll "
+                             "back to the failure-link state.  Runs in "
+                             "the device CTC beam (--ctc_beam_device) "
+                             "and in the attention/CIF beam")
     parser.add_argument("--context_weight", type=float, default=2.0)
     parser.add_argument("--ctc_beam_device", action="store_true",
                         default=False,
@@ -99,9 +102,11 @@ def main(argv=None):
             "> 0 (it selects the on-device prefix beam; without "
             "--ctc_beam the run would silently fall back to greedy)"
         )
-    if args.context_file and not args.ctc_beam_device:
+    if args.context_file and is_ctc_type and not args.ctc_beam_device:
+        # the host CTC decoders (greedy / C++ prefix beam) have no
+        # biasing hook; attention/CIF models bias in the jitted beam
         raise SystemExit(
-            "--context_file hotword biasing is implemented by the "
+            "--context_file hotword biasing for CTC models runs in the "
             "on-device prefix beam: add --ctc_beam N --ctc_beam_device"
         )
 
@@ -162,6 +167,23 @@ def main(argv=None):
         "conv_ctc", "gru_ctc", "wav2vec_ctc"
     )
 
+    # hotword table: loaded once, compiled once into the AC automaton
+    # (shared by the device CTC beam and the attention/CIF beam)
+    ctx_tables = None
+    if args.context_file:
+        from openasr_tpu.data.tokenizer import load_context_phrases
+        from openasr_tpu.ops.ctc_beam_device import build_context_tables
+
+        try:
+            pad = load_context_phrases(tokenizer, args.context_file)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        ctx_tables = build_context_tables(pad, tokenizer.unit_num())
+        logging.info(
+            "hotword biasing: %d phrases, weight %.2f",
+            pad.shape[0], args.context_weight,
+        )
+
     lm = None
     if args.lm_pkg and args.lm_weight != 0.0:
         if is_ctc and not (args.ctc_beam > 0 and args.ctc_beam_device):
@@ -200,22 +222,9 @@ def main(argv=None):
             )
 
             ctx_kw = {}
-            if args.context_file:
-                from openasr_tpu.data.tokenizer import (
-                    load_context_phrases,
-                )
-
-                try:
-                    pad = load_context_phrases(tokenizer,
-                                               args.context_file)
-                except ValueError as e:
-                    raise SystemExit(str(e))
-                ctx_kw = {"context_phrases": pad,
+            if ctx_tables is not None:
+                ctx_kw = {"context_tables": ctx_tables,
                           "context_weight": args.context_weight}
-                logging.info(
-                    "hotword biasing: %d phrases, weight %.2f",
-                    pad.shape[0], args.context_weight,
-                )
 
             ctc_beam_device_fn = partial(
                 ctc_prefix_beam_device,
@@ -292,6 +301,8 @@ def main(argv=None):
                 params, inputs, lengths,
                 beam_size=args.nbest, max_decode_len=args.maxlen,
                 lm=lm, lm_params=lm_params, lm_weight=args.lm_weight,
+                context_tables=ctx_tables,
+                context_weight=args.context_weight,
             )
 
     seen_buckets = set()

@@ -193,7 +193,8 @@ class CIF(Framework):
 
     def batch_beam_decode(self, params, inputs, lengths, beam_size=5,
                           max_decode_len=100, lm=None, lm_params=None,
-                          lm_weight=0.0):
+                          lm_weight=0.0, context_tables=None,
+                          context_weight=0.0):
         """Beam over CIF outputs: fixed number of steps = CIF length
         (reference: Speech_Models.py:426-485).  The per-step decoder is the
         reference's pad-and-index full forward; the prefix buffer rides in
@@ -235,6 +236,7 @@ class CIF(Framework):
             step_fn, cache, b, beam_size, max_decode_len, vocab,
             lm_step_fn=lm_step_fn, init_lm_cache=init_lm_cache,
             lm_weight=lm_weight, use_eos=False,
+            context_tables=context_tables, context_weight=context_weight,
         )
         # output length IS the CIF length
         cif_lens_b = jnp.minimum(cif_lens, max_decode_len)[:, None]

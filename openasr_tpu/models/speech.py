@@ -147,20 +147,25 @@ class ConvTransformer(Framework):
 
     def batch_beam_decode(self, params, inputs, lengths, beam_size=5,
                           max_decode_len=100, lm=None, lm_params=None,
-                          lm_weight=0.0):
+                          lm_weight=0.0, context_tables=None,
+                          context_weight=0.0):
         """reference: Speech_Models.py:136-203; jitted KV-cached version,
         optionally with LSTM-LM shallow fusion (score += lm_weight *
-        log p_lm)."""
+        log p_lm) and Aho-Corasick hotword biasing (context_tables from
+        ops.ctc_beam_device.build_context_tables — the same automaton
+        the device CTC beam runs)."""
         encoded, elens = self.encode(params, inputs, lengths)
         return self.beam_decode_encoded(
             params, encoded, elens, beam_size=beam_size,
             max_decode_len=max_decode_len, lm=lm, lm_params=lm_params,
-            lm_weight=lm_weight,
+            lm_weight=lm_weight, context_tables=context_tables,
+            context_weight=context_weight,
         )
 
     def beam_decode_encoded(self, params, encoded, elens, beam_size=5,
                             max_decode_len=100, lm=None, lm_params=None,
-                            lm_weight=0.0):
+                            lm_weight=0.0, context_tables=None,
+                            context_weight=0.0):
         """Beam search over precomputed encoder states — the final
         attention pass of the two-pass streaming recipe (streaming.py
         accumulates `encoded` incrementally, then this rescores)."""
@@ -191,7 +196,8 @@ class ConvTransformer(Framework):
         return batch_beam_search(
             step_fn, cache, b, beam_size, max_decode_len, vocab,
             lm_step_fn=lm_step_fn, init_lm_cache=init_lm_cache,
-            lm_weight=lm_weight,
+            lm_weight=lm_weight, context_tables=context_tables,
+            context_weight=context_weight,
         )
 
 

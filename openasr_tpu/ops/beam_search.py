@@ -49,8 +49,11 @@ def batch_beam_search(
     init_lm_cache=None,
     lm_weight: float = 0.0,
     use_eos: bool = True,
+    context_tables=None,
+    context_weight: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run beam search, optionally with LM shallow fusion.
+    """Run beam search, optionally with LM shallow fusion and hotword
+    biasing.
 
     use_eos=False runs every beam for the full max_decode_len with no
     EOS finishing or score freezing — the reference's CIF decode, which
@@ -67,6 +70,20 @@ def batch_beam_search(
         lm_cache); beam scores become log p_am + lm_weight * log p_lm.
       init_lm_cache: LM state pytree with leading dim BB (e.g. LSTM
         carries); it is reordered with the beams like the model cache.
+      context_tables/context_weight: hotword biasing
+        (ops.ctc_beam_device.build_context_tables — the same true
+        Aho-Corasick automaton the device CTC beam runs): each beam
+        carries a per-phrase match counter, reordered with the beams
+        like the caches; every emitted token's score gains
+        context_weight * the automaton's boost delta (advance +w,
+        failure-link rollback on break, completed phrases keep their
+        boost).  EOS neither earns nor rolls back boost — a dangling
+        partial match at end-of-utterance keeps its boost, matching
+        the device CTC beam's end semantics — so finished beams'
+        frozen scores are untouched.  With use_eos=False (the CIF
+        decode) every emitted position transitions the automaton,
+        including positions past the caller's per-utterance CIF
+        length — biasing there is approximate on the padded tail.
 
     Returns:
       preds [B, beam, max_decode_len] (EOS-padded, no SOS),
@@ -75,6 +92,16 @@ def batch_beam_search(
     """
     bb = batch_size * beam_size
     use_lm = lm_step_fn is not None and lm_weight != 0.0
+    use_ctx = context_tables is not None and context_weight != 0.0
+    if use_ctx:
+        ctx = {
+            k: jnp.asarray(context_tables[k])
+            for k in ("j_of", "trans", "plen", "fail")
+        }
+        n_phrases = ctx["plen"].shape[0]
+    else:
+        ctx, n_phrases = None, 0
+    init_cmatch = jnp.zeros((bb, n_phrases), jnp.int32)
 
     init_tokens = jnp.full((bb,), sos_id, jnp.int32)
     init_preds = jnp.full((bb, max_decode_len), eos_id, jnp.int32)
@@ -102,7 +129,7 @@ def batch_beam_search(
 
     def body(state):
         step, tokens, preds, scores, finished, caches = state
-        cache, lm_cache = caches
+        cache, lm_cache, cmatch = caches
         logits, cache = step_fn(tokens, step, cache)
         z = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if use_lm:
@@ -111,6 +138,33 @@ def batch_beam_search(
         if use_eos:
             # finished beams: force EOS with logprob 0 (score freeze)
             z = jnp.where(finished[:, None], eos_onehot_row, z)
+        if use_ctx:
+            # hotword boost per candidate token: the same AC-automaton
+            # gather as the device CTC beam's extension scoring
+            from openasr_tpu.ops.ctc_beam_device import _ctx_transition
+
+            P = n_phrases
+            lp1 = ctx["trans"].shape[1]
+            trans_m = ctx["trans"][
+                jnp.arange(P)[None, :], jnp.clip(cmatch, 0, lp1 - 1)
+            ]  # [BB, P, L+1]
+            raw = jnp.take_along_axis(
+                trans_m,
+                jnp.broadcast_to(
+                    ctx["j_of"].T[None, :, :], (bb, P, vocab_size)
+                ),
+                axis=2,
+            )  # [BB, P, V]
+            _, delta = _ctx_transition(
+                cmatch[:, :, None], raw,
+                ctx["plen"][None, :, None], ctx["fail"][None, :, None],
+            )
+            bias = context_weight * jnp.sum(delta, axis=1)  # [BB, V]
+            # EOS keeps a dangling partial's boost (no earn, no
+            # rollback); finished beams see only their forced-EOS
+            # column, which this zero keeps untouched
+            bias = bias.at[:, eos_id].set(0.0)
+            z = z + bias
 
         next_scores, next_tokens = lax.top_k(z, beam_size)  # [BB, beam]
         comb = (scores[:, None] + next_scores).reshape(
@@ -134,11 +188,34 @@ def batch_beam_search(
             lm_cache = jax.tree_util.tree_map(
                 lambda x: x[beam_src], lm_cache
             )
+        if use_ctx:
+            from openasr_tpu.ops.ctc_beam_device import _ctx_transition
+
+            P = n_phrases
+            lp1 = ctx["trans"].shape[1]
+            pmatch = cmatch[beam_src]  # [BB, P]
+            j_sel = ctx["j_of"][new_tokens]  # [BB, P]
+            raw_sel = ctx["trans"][
+                jnp.arange(P)[None, :],
+                jnp.clip(pmatch, 0, lp1 - 1),
+                j_sel,
+            ]
+            nm, _ = _ctx_transition(
+                pmatch, raw_sel,
+                ctx["plen"][None, :], ctx["fail"][None, :],
+            )
+            # EOS (incl. forced EOS on finished beams) leaves the
+            # automaton untouched, mirroring its zero score delta
+            cmatch = jnp.where(
+                (new_tokens == eos_id)[:, None] if use_eos
+                else jnp.zeros((bb, 1), bool),
+                pmatch, nm,
+            )
         return (step + 1, new_tokens, preds, scores, finished,
-                (cache, lm_cache))
+                (cache, lm_cache, cmatch))
 
     state = (0, init_tokens, init_preds, init_scores, init_finished,
-             (init_cache, init_lm_cache))
+             (init_cache, init_lm_cache, init_cmatch))
     _, _, preds, scores, _, _ = lax.while_loop(cond, body, state)
 
     if use_eos:

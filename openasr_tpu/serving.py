@@ -156,6 +156,20 @@ def export_beam_decode(
             )
             return ids, id_lens, log_probs, len_logits
     else:
+        attn_ctx_kw = {}
+        if context_phrases is not None and context_weight != 0.0:
+            from openasr_tpu.ops.ctc_beam_device import (
+                build_context_tables,
+            )
+
+            attn_ctx_kw = {
+                "context_tables": build_context_tables(
+                    np.asarray(context_phrases),
+                    int(model.configs.decoder["vocab_size"]),
+                ),
+                "context_weight": float(context_weight),
+            }
+
         def decode(qparams, lm_params, feats, lens):
             return model.batch_beam_decode(
                 prep(qparams), feats, lens, beam_size=beam_size,
@@ -163,6 +177,7 @@ def export_beam_decode(
                 lm=lm if use_lm else None,
                 lm_params=lm_params if use_lm else None,
                 lm_weight=float(lm_weight) if use_lm else 0.0,
+                **attn_ctx_kw,
             )
 
     export_params = (

@@ -351,3 +351,198 @@ def test_transformer_lm_step_cache_refuses_pe_overflow():
                   method=type(mod).init_step_cache)
     mod.apply({"params": lm.params}, 2, 5000,
               method=type(mod).init_step_cache)  # at the bound: fine
+
+
+# ------------------------------------------- attention-beam hotword biasing
+
+def test_attention_beam_biasing_scores_match_ac_oracle():
+    """Hotword biasing in the attention beam (round-4 directive #7): for
+    hypotheses present in both the plain and biased n-best, the score
+    difference is EXACTLY context_weight * the Aho-Corasick boost of the
+    token sequence (python AC replay), and a strongly-boosted phrase
+    takes over the 1-best."""
+    import numpy as np
+
+    from openasr_tpu.ops.ctc_beam_device import build_context_tables
+
+    from test_serving import small_model
+
+    model = small_model()
+    phrases = [(5, 6), (9, 9)]
+    pad = np.full((2, 2), -1, np.int32)
+    for i, ph in enumerate(phrases):
+        pad[i, : len(ph)] = ph
+    tables = build_context_tables(pad, 20)
+
+    rng = np.random.RandomState(3)
+    feats = rng.randn(2, 24, 20).astype(np.float32)
+    lens = np.asarray([24, 18], np.int32)
+
+    base = model.batch_beam_decode(model.params, feats, lens,
+                                   beam_size=3, max_decode_len=6)
+    w = 0.3  # small: perturbs scores without reshuffling every beam
+    biased = model.batch_beam_decode(
+        model.params, feats, lens, beam_size=3, max_decode_len=6,
+        context_tables=tables, context_weight=w,
+    )
+
+    def ac_boost(seq):
+        total = 0.0
+        for ph in phrases:
+            n = len(ph)
+            fail = [0] * (n + 1)
+            k = 0
+            for m in range(1, n):
+                while k and ph[m] != ph[k]:
+                    k = fail[k]
+                if ph[m] == ph[k]:
+                    k += 1
+                fail[m + 1] = k
+            m = comp = 0
+            for c in seq:
+                while m > 0 and ph[m] != c:
+                    m = fail[m]
+                m = m + 1 if ph[m] == c else 0
+                if m == n:
+                    comp += 1
+                    m = fail[n]
+            total += comp * n + m
+        return total
+
+    def nbest_map(out):
+        preds, lens_d, scores = map(np.asarray, out)
+        res = {}
+        for b in range(preds.shape[0]):
+            for k in range(preds.shape[1]):
+                seq = tuple(int(c) for c in preds[b, k, : lens_d[b, k]])
+                res[(b, seq)] = float(scores[b, k])
+        return res
+
+    base_map, biased_map = nbest_map(base), nbest_map(biased)
+    common = set(base_map) & set(biased_map)
+    assert common, "no shared hypotheses to oracle-check"
+    for key in common:
+        _, seq = key
+        np.testing.assert_allclose(
+            biased_map[key] - base_map[key], w * ac_boost(seq),
+            atol=2e-4, err_msg=str(key),
+        )
+
+    # a strong boost makes the beam decode the phrase on a loop (after
+    # completion the automaton restarts via the failure link and the
+    # next advance earns +w again)
+    strong = model.batch_beam_decode(
+        model.params, feats, lens, beam_size=3, max_decode_len=6,
+        context_tables=tables, context_weight=8.0,
+    )
+    top = [int(c) for c in np.asarray(strong[0])[0, 0]]
+    assert top[:4] in ([5, 6, 5, 6], [9, 9, 9, 9]), top
+
+
+def test_cif_beam_decode_accepts_biasing():
+    """CIF-family batch_beam_decode takes the same context kwargs the
+    infer CLI passes, and biasing changes the scores."""
+    import numpy as np
+
+    from openasr_tpu.ops.ctc_beam_device import build_context_tables
+
+    cfg = Config({
+        "type": "CIF",
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "assigner": {"d_model": 32, "n_layers": 2, "w_context": 3,
+                     "dropout": 0.0},
+        "decoder": {"type": "CIF_Decoder", "vocab_size": 20, "d_model": 32,
+                    "nhead": 2, "num_layers": 1, "encoder_dim": 32,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "dropout_rate": 0.0},
+    })
+    model = get_model_class("CIF").create_model(cfg)
+    tables = build_context_tables(np.asarray([[5, 6, -1]], np.int32), 20)
+    rng = np.random.RandomState(2)
+    feats = rng.randn(2, 48, 20).astype(np.float32)
+    lens = np.array([48, 40], np.int32)
+    base = model.batch_beam_decode(model.params, feats, lens,
+                                   beam_size=2, max_decode_len=6)
+    biased = model.batch_beam_decode(
+        model.params, feats, lens, beam_size=2, max_decode_len=6,
+        context_tables=tables, context_weight=2.0,
+    )
+    assert np.asarray(biased[0]).shape == np.asarray(base[0]).shape
+    assert not np.allclose(np.asarray(biased[2]), np.asarray(base[2]))
+
+
+def test_infer_cli_attention_biasing(tmp_path):
+    """infer.py --context_file on an attention model (guard removed in
+    round 5): the biased CLI run completes, writes well-formed output,
+    and a strong boost changes the hypotheses vs the plain run."""
+    import json
+
+    from openasr_tpu.bin.infer import main as infer_main
+    from openasr_tpu.data import kaldi_io
+    from openasr_tpu.utils.checkpoint import save_package
+
+    units = ["a", "b", "c", "d"]
+    (tmp_path / "vocab.txt").write_text("\n".join(units) + "\n")
+    (tmp_path / "hotwords.txt").write_text("a b\n")
+    rng = np.random.RandomState(5)
+    mats, samples = [], []
+    for i in range(2):
+        t = int(rng.randint(20, 30))
+        key = f"utt{i:02d}"
+        mats.append((key, (rng.randn(t, 20) * 0.5).astype(np.float32)))
+        samples.append({"uttid": key, "feat_length": t, "tokens": "a",
+                        "token_length": 1})
+    prefix = str(tmp_path / "feats")
+    kaldi_io.write_ark_scp(prefix, mats)
+    scp = dict(l.strip().split(" ", 1) for l in open(prefix + ".scp"))
+    for s in samples:
+        s["feat"] = scp[s["uttid"]]
+    (tmp_path / "test.json").write_text(json.dumps(samples))
+
+    cfg = Config({
+        "type": "conv-transformer", "add_eos": True,
+        "signal": {"feature_type": "offline"},
+        "encoder": {"type": "Transformer",
+                    "sub": {"type": "ConvV2", "layer_num": 1},
+                    "input_dim": 20, "d_model": 32, "nhead": 2,
+                    "dim_feedforward": 64, "activation": "relu",
+                    "num_layers": 1, "dropout_rate": 0.0},
+        "decoder": {"type": "TransformerDecoder", "vocab_size": 8,
+                    "d_model": 32, "nhead": 2, "num_layers": 1,
+                    "encoder_dim": 32, "dim_feedforward": 64,
+                    "activation": "relu", "dropout_rate": 0.0},
+    })
+    model = get_model_class("conv-transformer").create_model(cfg)
+    save_package({"model": model.package()}, str(tmp_path / "last.pkg"))
+
+    common = [
+        "--model_type", "conv-transformer",
+        "--model_pkg", str(tmp_path / "last.pkg"),
+        "--vocab_path", str(tmp_path / "vocab.txt"),
+        "--json_file", str(tmp_path / "test.json"),
+        "--batch_frames", "500",
+        "--offline", "--add_blk", "--split_token",
+        "--nbest", "2", "--maxlen", "6",
+    ]
+    plain_out = str(tmp_path / "hyp_plain.txt")
+    ctx_out = str(tmp_path / "hyp_ctx.txt")
+    infer_main(common + ["--output", plain_out])
+    infer_main(common + [
+        "--output", ctx_out,
+        "--context_file", str(tmp_path / "hotwords.txt"),
+        "--context_weight", "8.0",
+    ])
+    plain = open(plain_out).read().strip().split("\n")
+    ctx = open(ctx_out).read().strip().split("\n")
+    assert len(ctx) == 2
+    for line in ctx:
+        assert line.split(" ", 1)[0].startswith("utt")
+    assert ctx != plain, "strong biasing changed nothing"
+    # the boosted phrase dominates the hypotheses
+    for line in ctx:
+        assert "a b" in line, line

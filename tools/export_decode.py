@@ -119,10 +119,12 @@ def main(argv=None):
 
     ctx_phrases = None
     if args.context_file:
-        if not (args.ctc_device_beam or args.stream_beam > 0):
+        is_ctc = not hasattr(model, "batch_beam_decode")
+        if is_ctc and not (args.ctc_device_beam or args.stream_beam > 0):
             raise SystemExit(
-                "--context_file biasing requires --ctc_device_beam or "
-                "--stream_beam N"
+                "--context_file biasing for CTC models requires "
+                "--ctc_device_beam or --stream_beam N (the kind 'ctc' "
+                "greedy export has no biasing hook)"
             )
         from openasr_tpu.data.tokenizer import load_context_phrases
 
@@ -176,20 +178,6 @@ def main(argv=None):
         tuple(int(x) for x in spec.split("x"))
         for spec in args.buckets.split(",")
     ]
-    ctx_phrases = None
-    if args.context_file:
-        if not args.ctc_device_beam:
-            raise SystemExit(
-                "--context_file biasing requires --ctc_device_beam"
-            )
-        from openasr_tpu.data.tokenizer import load_context_phrases
-
-        try:
-            ctx_phrases = load_context_phrases(tokenizer,
-                                               args.context_file)
-        except ValueError as e:
-            raise SystemExit(str(e))
-
     export_beam_decode(
         model, buckets=buckets, path=args.out, beam_size=args.nbest,
         max_decode_len=args.maxlen,
@@ -199,6 +187,9 @@ def main(argv=None):
         ctc_device_beam=args.ctc_device_beam,
         context_phrases=ctx_phrases,
         context_weight=args.context_weight,
+        cutoff_top_n=args.cutoff_top_n,
+        cutoff_logp=args.cutoff_logp,
+        lm=lm, lm_weight=args.lm_weight,
     )
     print(f"exported {len(buckets)} buckets -> {args.out}")
 
