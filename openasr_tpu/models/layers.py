@@ -19,6 +19,7 @@ by d_model.
 from __future__ import annotations
 
 import math
+import os
 from functools import lru_cache
 from typing import Any, Optional, Tuple
 
@@ -284,6 +285,15 @@ class FeedForward(nn.Module):
         else:
             raise ValueError(f"Unknown activation {self.activation}")
         h = nn.Dropout(self.dropout_rate, deterministic=deterministic)(h)
+        # NOTE (perf, measured on v5e): leave the glu gate + dropout
+        # FUSED into the linear2 matmul.  An optimization_barrier here
+        # (forcing the activation to materialize first) was A/B'd both
+        # ways in round 5: the fused FFN2 kernel runs at ~46% of MXU
+        # peak, but that is its composite roofline (matmul FLOPs + the
+        # mandatory 2x-wide gate-input read in one pass) — the barrier
+        # made the wide d1024 lane 3 ms/step SLOWER (66.4 -> 69.6) and
+        # the flagship 2 ms slower, because the extra materialized
+        # write+read costs more than the fusion's prologue.
         return nn.Dense(
             self.d_model, kernel_init=XAVIER_UNIFORM, dtype=self.dtype,
             name="linear2",

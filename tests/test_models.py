@@ -278,3 +278,30 @@ def test_attention_maps_capture():
     assert cross.shape[-2:] == (5, enc.shape[-1])
     avg = m.attention_maps(batch, average_heads=True)
     assert np.asarray(avg["encoder/layer0/self_attn"]).shape == enc[:, 0].shape
+
+
+def test_folded_affine_equals_transpose_reshape_dense():
+    """The subsamplers' _FoldedAffine (transpose folded into a two-dim
+    contraction — kills two [B,T,C,D] layout copies per step on TPU) is
+    numerically the old `x.transpose(0,1,3,2).reshape(b,t,c*d) @ W + b`
+    with the IDENTICAL param tree (kernel [C*D, M] rows ordered c*D+d)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from openasr_tpu.models.subsample import _FoldedAffine
+
+    b, t, d, c, m = 2, 5, 7, 3, 11
+    mod = _FoldedAffine(m, c=c, d=d)
+    x = jnp.asarray(np.random.RandomState(0).randn(b, t, d, c),
+                    jnp.float32)
+    params = mod.init(jax.random.PRNGKey(1), x)["params"]
+    assert params["kernel"].shape == (c * d, m)  # checkpoint layout
+    assert params["bias"].shape == (m,)
+    y = mod.apply({"params": params}, x)
+    ref = (
+        x.transpose(0, 1, 3, 2).reshape(b, t, c * d)
+        @ params["kernel"] + params["bias"]
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)

@@ -32,7 +32,8 @@ def build_step(model_name="flagship"):
     from openasr_tpu.parallel import make_mesh, shard_batch
     from openasr_tpu.solvers import array_fields, get_solver_class
 
-    cfg_factory = {"flagship": bench.flagship_cfg, "cif": bench.cif_cfg}
+    cfg_factory = {"flagship": bench.flagship_cfg, "cif": bench.cif_cfg,
+                   "wide": bench.wide_cfg, "online": bench.online_cfg}
     cfg = Config(cfg_factory[model_name]())
     model = get_model_class(cfg.type).create_model(cfg, dtype=jnp.bfloat16)
     mesh = make_mesh(jax.devices()[:1], model=1)
@@ -45,7 +46,9 @@ def build_step(model_name="flagship"):
                          "d_model": bench.D_MODEL},
     })
     solver = get_solver_class(cfg.type)(model, training, [], [], mesh=mesh)
-    batch = shard_batch(array_fields(bench.make_batch()), mesh)
+    raw_batch = (bench.make_wave_batch() if model_name == "online"
+                 else bench.make_batch())
+    batch = shard_batch(array_fields(raw_batch), mesh)
     rng = jax.random.PRNGKey(0)
     return solver, batch, rng
 
@@ -59,9 +62,10 @@ def hlo_report(model_name="flagship"):
     lowered = fn.lower(params, opt_state, batch, rng)
     compiled = lowered.compile()
     txt = compiled.as_text()
-    with open("/tmp/flagship_step.hlo", "w") as f:
+    hlo_path = f"/tmp/{model_name}_step.hlo"
+    with open(hlo_path, "w") as f:
         f.write(txt)
-    print(f"optimized HLO: {len(txt)} bytes -> /tmp/flagship_step.hlo")
+    print(f"optimized HLO: {len(txt)} bytes -> {hlo_path}")
 
     # Walk HLO lines: find dot/convolution ops, record output dtype+shape and
     # operand dtypes from the full line.
@@ -125,9 +129,13 @@ def trace_report(n_steps=5, model_name="flagship"):
     if events is None:
         print("tracing unavailable: no device-lane events captured")
         return
-    # Ops are duplicated across device lanes ("XLA Modules" + "XLA Ops"
-    # threads share a pid) — dedupe by (name, ts) so each hardware event
-    # counts once.
+    # The device timeline carries three kinds of spans: the
+    # jit_train_step umbrella, per-module umbrella spans whose names are
+    # bare numbers (one per step, each covering the WHOLE step), and the
+    # actual per-op spans.  The per-op spans sum to the step time —
+    # measured: non-umbrella total / step total = 1.00 — so they are
+    # single-counted; only the umbrellas must be dropped to avoid
+    # double-counting.  Dedupe by (name, ts) besides, for lane mirrors.
     agg = collections.Counter()
     counts = collections.Counter()
     meta = {}
@@ -142,28 +150,46 @@ def trace_report(n_steps=5, model_name="flagship"):
         if name.startswith("jit_train_step"):
             total += e["dur"]
             continue
+        if re.fullmatch(r"\d+", name):  # per-module umbrella span
+            continue
         agg[name] += e["dur"]
         counts[name] += 1
         args = e.get("args") or {}
         ln = args.get("long_name") or args.get("tf_op") or ""
         if ln and name not in meta:
             meta[name] = ln
-    # Join with the HLO dump (if present) to compute per-op byte traffic:
-    # bytes = output + operand shapes parsed from the instruction line.
+
+    # Join with the HLO dump (if present): per-op byte traffic from the
+    # instruction line, and matmul classification from the fusion's
+    # called computation body (a fusion is compute-class if its body
+    # holds a dot/convolution).
     hlo_defs = {}
-    hlo_path = "/tmp/flagship_step.hlo"
+    calls_of = {}
+    comp_has_dot = collections.defaultdict(bool)
+    hlo_path = f"/tmp/{model_name}_step.hlo"
     if os.path.exists(hlo_path):
+        current_comp = None
         for line in open(hlo_path):
-            m = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = ", line)
-            if m:
-                hlo_defs[m.group(1)] = line.strip()
+            mm = re.match(r"\s*(?:ROOT )?%([\w.\-]+) = ", line)
+            if mm:
+                hlo_defs[mm.group(1)] = line.strip()
+                cm = re.search(r"calls=%?([\w.\-]+)", line)
+                if cm:
+                    calls_of[mm.group(1)] = cm.group(1)
+            head = re.match(r"%?([\w.\-]+)\s*(?:\(.*\))?\s*->.*{\s*$", line)
+            if head and " = " not in line:
+                current_comp = head.group(1)
+            elif line.rstrip() == "}":
+                current_comp = None
+            if current_comp and (" dot(" in line or " convolution(" in line):
+                comp_has_dot[current_comp] = True
     DTSIZE = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "s8": 1, "u8": 1,
               "pred": 1, "f16": 2, "s64": 8, "u64": 8, "f64": 8}
 
-    def op_bytes(name):
-        line = hlo_defs.get(name)
-        if not line:
-            return None
+    def shape_bytes(line):
+        # dtype[shape] patterns appear ONLY in the op's output spec
+        # (operands print as bare %names, layouts use parens) — so a
+        # whole-line scan is exactly the output size
         total_b = 0
         for dt, shape in re.findall(r"(\w+)\[([\d,]*)\]", line):
             if dt not in DTSIZE:
@@ -175,25 +201,96 @@ def trace_report(n_steps=5, model_name="flagship"):
             total_b += n * DTSIZE[dt]
         return total_b
 
+    def op_bytes(name):
+        """HBM traffic estimate: output bytes + every operand's size
+        (each operand %name resolved through its own def line).  Slight
+        overcount when an operand is a forwarded tuple element; good
+        enough for a roofline."""
+        line = hlo_defs.get(name)
+        if not line:
+            return None
+        total_b = shape_bytes(line)
+        i = line.find("(%")
+        if i >= 0:
+            for a in re.findall(r"%([\w.\-]+)", line[i:]):
+                if a != name and a in hlo_defs:
+                    total_b += shape_bytes(hlo_defs[a])
+        return total_b
+
+    def op_class(name):
+        """matmul / copy / loop / other — the roofline buckets."""
+        base = name.split("%")[-1]
+        if base.startswith(("while", "conditional")):
+            return "loop"
+        if base.startswith(("copy", "bitcast", "transpose", "reshape",
+                            "all-reduce", "all-gather", "collective")):
+            return "copy"
+        line = hlo_defs.get(base, "")
+        if " dot(" in line or " convolution(" in line:
+            return "matmul"
+        cm = re.search(r"calls=%?([\w.\-]+)", line)
+        if cm and comp_has_dot.get(cm.group(1)):
+            return "matmul"
+        if "convolution" in base or base.startswith("dot"):
+            return "matmul"
+        if base.startswith("fusion") or True:
+            return "other"
+
+    cls_time = collections.Counter()
+    cls_bytes = collections.Counter()
+    for name, us in agg.items():
+        c = op_class(name)
+        cls_time[c] += us
+        nb = op_bytes(name)
+        if nb:
+            cls_bytes[c] += nb * (counts[name] // max(n_steps, 1) or 1)
+
+    # attribute device time to the PYTHON line that emitted each op
+    # (HLO metadata carries source_file/source_line) — the "where is the
+    # step going" table
+    src_time = collections.Counter()
+    for name, us in agg.items():
+        line = hlo_defs.get(name.split("%")[-1], "")
+        sm = re.search(r'source_file="([^"]+)".*?source_line=(\d+)', line)
+        if sm:
+            path = sm.group(1)
+            short = "/".join(path.split("/")[-2:])
+            src_time[f"{short}:{sm.group(2)}"] += us
+        else:
+            src_time["(no source metadata)"] += us
+
+    op_total_ms = sum(agg.values()) / 1e3 / n_steps
+    step_ms = total / 1e3 / n_steps if total else op_total_ms
     print(f"\n=== device-lane per-op totals over {n_steps} steps "
-          f"(jit_train_step total {total/1e3/n_steps:.2f} ms/step) ===")
+          f"(jit_train_step total {step_ms:.2f} ms/step; op spans sum "
+          f"to {op_total_ms:.2f} ms/step) ===")
+    print("\n--- class totals (the roofline buckets) ---")
+    for c in ("matmul", "other", "copy", "loop"):
+        ms = cls_time[c] / 1e3 / n_steps
+        gb = cls_bytes[c] / 1e9
+        bw = gb / (ms / 1e3) if ms else 0.0
+        print(f"{c:>7s}: {ms:7.3f} ms/step ({100*ms/max(op_total_ms,1e-9):4.1f}%)"
+              f"  ~{gb:6.2f} GB touched  ~{bw:5.0f} GB/s")
+    print("\n--- top source lines (device ms/step) ---")
+    for src, us in src_time.most_common(25):
+        print(f"{us/1e3/n_steps:8.3f} ms  {src}")
     shown = 0.0
     top = int(os.environ.get("PROFILE_TOP", "50"))
+    print("\n--- top ops ---")
     for name, us in agg.most_common(top):
         ms = us / 1e3 / n_steps
         nb = op_bytes(name)
         if nb:
-            # ops are double-counted across two device lanes; the per-op ms
-            # below is the raw (2x) number — GB/s uses ms/2
-            bw = nb / 1e9 / (ms / 2 / 1e3)
+            bw = nb / 1e9 / (ms / 1e3)
             traffic = f"{nb/1e6:7.1f}MB {bw:6.0f}GB/s"
         else:
             traffic = " " * 17
-        extra = meta.get(name, "")[:60]
-        print(f"{ms:8.3f} ms x{counts[name]//n_steps:<3d} {traffic} "
+        extra = meta.get(name, "")[:46]
+        print(f"{ms:8.3f} ms x{counts[name]//n_steps:<3d} "
+              f"[{op_class(name):>6s}] {traffic} "
               f"{name[:34]:<34s} {extra}")
         shown += us
-    print(f"[shown {shown/1e3/n_steps:.2f} ms of {sum(agg.values())/1e3/n_steps:.2f} ms op-total]")
+    print(f"[shown {shown/1e3/n_steps:.2f} ms of {op_total_ms:.2f} ms op-total]")
 
 
 if __name__ == "__main__":
@@ -201,7 +298,8 @@ if __name__ == "__main__":
     ap.add_argument("--hlo", action="store_true")
     ap.add_argument("--trace", action="store_true")
     ap.add_argument("--fast", action="store_true")
-    ap.add_argument("--model", default="flagship", choices=["flagship", "cif"])
+    ap.add_argument("--model", default="flagship",
+                choices=["flagship", "cif", "wide", "online"])
     args = ap.parse_args()
     if args.fast:
         os.environ["BENCH_FAST"] = "1"
