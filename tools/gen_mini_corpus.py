@@ -44,15 +44,21 @@ def gen_wave_corpus(out: str, num_utts: int, seed: int) -> None:
     )
     samples, text_lines = [], []
     seg = 1200  # samples per token segment
+    gap = 240  # inter-token silence (15 ms): without it, adjacent
+    # REPEATED tokens are one continuous sine — acoustically a single
+    # long tone distinguishable only by duration, which makes them
+    # systematically undecodable for CTC (measured: deletion-only CER
+    # exactly at the repeated-token positions).  Real speech separates
+    # repeats with articulation transitions; the gap models that.
     for i in range(num_utts):
         n_tok = rng.randint(2, 5)
         toks = rng.randint(0, len(CHARS), size=n_tok)
-        n = seg * n_tok + rng.randint(0, seg // 2)
+        n = (seg + gap) * n_tok + rng.randint(0, seg // 2)
         t_axis = np.arange(n) / rate
         wave = 60.0 * rng.randn(n)
         for j, tok in enumerate(toks):
             f0 = 300.0 + 200.0 * tok
-            sl = slice(j * seg, (j + 1) * seg)
+            sl = slice(j * (seg + gap), j * (seg + gap) + seg)
             wave[sl] += 4000.0 * np.sin(2 * np.pi * f0 * t_axis[sl])
         key = f"utt{i:03d}"
         path = os.path.join(wav_dir, key + ".wav")
